@@ -1,0 +1,23 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax is imported anywhere; pytest imports conftest
+first, so this is the safe place.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_DIR = "/root/reference/src/clip-event"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
