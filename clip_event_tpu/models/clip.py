@@ -1,0 +1,198 @@
+"""CLIP dual encoder — functional JAX top level.
+
+Capabilities match the reference `CLIP` module (`model_clip.py:266-552`):
+ViT or ModifiedResNet vision tower, causal text transformer with EOT pooling,
+learned logit_scale, over-batch (`mm`) vs per-instance (`bmm`) contrastive
+logits, grid-token image encoding, and batched object/entity encoding for the
+OT alignment path (`sim_entity`, `model_clip.py:531-552`).
+
+Everything here is pure: `forward(params, cfg, images, tokens)`. Sharding is
+applied by the caller (see `clip_event_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clip_event_tpu.models import layers as L
+from clip_event_tpu.models.resnet import init_resnet, resnet_encode
+from clip_event_tpu.models.vit import init_vit, vit_encode
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int
+    image_resolution: int
+    vision_layers: Union[int, Tuple[int, int, int, int]]
+    vision_width: int
+    vision_patch_size: Optional[int]
+    context_length: int
+    vocab_size: int
+    transformer_width: int
+    transformer_heads: int
+    transformer_layers: int
+
+    @property
+    def is_vit(self) -> bool:
+        return isinstance(self.vision_layers, int)
+
+    @property
+    def vision_heads(self) -> int:
+        if self.is_vit:
+            return self.vision_width // 64
+        return self.vision_width * 32 // 64
+
+    @property
+    def grid_size(self) -> int:
+        assert self.is_vit
+        return self.image_resolution // self.vision_patch_size
+
+
+VIT_B32 = CLIPConfig(512, 224, 12, 768, 32, 77, 49408, 512, 8, 12)
+VIT_B16 = CLIPConfig(512, 224, 12, 768, 16, 77, 49408, 512, 8, 12)
+VIT_L14 = CLIPConfig(768, 224, 24, 1024, 14, 77, 49408, 768, 12, 12)
+RN50 = CLIPConfig(1024, 224, (3, 4, 6, 3), 64, None, 77, 49408, 512, 8, 12)
+
+
+def init_params(rng: jax.Array, cfg: CLIPConfig) -> dict:
+    """Random init following the reference scheme (`model_clip.py:348-375`)."""
+    k_vis, k_txt, k_tok, k_pos, k_proj = jax.random.split(rng, 5)
+    if cfg.is_vit:
+        visual = init_vit(
+            k_vis,
+            cfg.image_resolution,
+            cfg.vision_patch_size,
+            cfg.vision_width,
+            cfg.vision_layers,
+            cfg.embed_dim,
+        )
+    else:
+        visual = init_resnet(
+            k_vis,
+            cfg.vision_layers,
+            cfg.vision_width,
+            cfg.image_resolution,
+            cfg.embed_dim,
+            cfg.vision_heads,
+        )
+    return {
+        "visual": visual,
+        "token_embedding": 0.02 * jax.random.normal(k_tok, (cfg.vocab_size, cfg.transformer_width)),
+        "positional_embedding": 0.01 * jax.random.normal(k_pos, (cfg.context_length, cfg.transformer_width)),
+        "text_transformer": L.init_transformer(k_txt, cfg.transformer_layers, cfg.transformer_width),
+        "ln_final": L.init_layer_norm(cfg.transformer_width),
+        "text_projection": cfg.transformer_width**-0.5
+        * jax.random.normal(k_proj, (cfg.transformer_width, cfg.embed_dim)),
+        "logit_scale": jnp.asarray(np.log(1.0 / 0.07), dtype=jnp.float32),
+    }
+
+
+def encode_image(
+    params: dict,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    use_grid: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """[B, H, W, 3] → [B, E], or [B, grid²+1, E] when use_grid (ViT only)."""
+    if cfg.is_vit:
+        return vit_encode(
+            params["visual"],
+            images,
+            cfg.vision_patch_size,
+            cfg.vision_heads,
+            use_grid=use_grid,
+            compute_dtype=compute_dtype,
+        )
+    assert not use_grid, "grid features require the ViT tower"
+    return resnet_encode(
+        params["visual"], images, cfg.vision_layers, cfg.vision_heads, compute_dtype=compute_dtype
+    )
+
+
+def encode_text(
+    params: dict,
+    cfg: CLIPConfig,
+    tokens: jnp.ndarray,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """[B, context] int tokens → [B, E]; EOT pooling via argmax token id."""
+    x = params["token_embedding"][tokens].astype(compute_dtype)
+    x = x + params["positional_embedding"].astype(compute_dtype)
+    bias = L.causal_mask(cfg.context_length)
+    x = L.transformer(x, params["text_transformer"], cfg.transformer_heads, bias)
+    x = L.layer_norm(x, params["ln_final"])
+    eot_idx = jnp.argmax(tokens, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    return jnp.dot(
+        pooled, params["text_projection"].astype(pooled.dtype), preferred_element_type=jnp.float32
+    ).astype(pooled.dtype)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
+
+
+def forward(
+    params: dict,
+    cfg: CLIPConfig,
+    images: jnp.ndarray,
+    tokens: jnp.ndarray,
+    overbatch: bool = True,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Contrastive logits (reference `CLIP.forward`, `model_clip.py:419-528`).
+
+    images: [B, H, W, 3]; tokens: [B*D, context] (D descriptions per image).
+    Returns (logits_per_image, logits_per_text):
+      overbatch:  [B, B*D] and [B*D, B]
+      instance:   [B, D]   and [B*D, B]  (text side is always over-batch)
+    """
+    image_features = l2_normalize(encode_image(params, cfg, images, compute_dtype=compute_dtype))
+    text_features = l2_normalize(encode_text(params, cfg, tokens, compute_dtype=compute_dtype))
+
+    scale = jnp.exp(params["logit_scale"]).astype(image_features.dtype)
+    logits_per_text = scale * jnp.dot(
+        text_features, image_features.T, preferred_element_type=jnp.float32
+    )
+    if overbatch:
+        logits_per_image = scale * jnp.dot(
+            image_features, text_features.T, preferred_element_type=jnp.float32
+        )
+    else:
+        B = image_features.shape[0]
+        per_inst = text_features.reshape(B, -1, text_features.shape[-1])
+        logits_per_image = scale * jnp.einsum(
+            "be,bde->bd", image_features, per_inst, preferred_element_type=jnp.float32
+        )
+    return logits_per_image, logits_per_text
+
+
+def sim_entity(
+    params: dict,
+    cfg: CLIPConfig,
+    object_images: jnp.ndarray,
+    entity_tokens: jnp.ndarray,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode object crops and entity mentions for the OT alignment loss.
+
+    object_images: [B, N, H, W, 3]; entity_tokens: [B, M, context].
+    Returns ([B, N, E], [B, M, E]) — unnormalized, as in the reference
+    (`model_clip.py:531-552`; normalization happens inside the OT cost).
+    """
+    B, N = object_images.shape[:2]
+    M = entity_tokens.shape[1]
+    img = encode_image(
+        params, cfg, object_images.reshape((B * N,) + object_images.shape[2:]),
+        compute_dtype=compute_dtype,
+    ).reshape(B, N, -1)
+    txt = encode_text(
+        params, cfg, entity_tokens.reshape(B * M, -1), compute_dtype=compute_dtype
+    ).reshape(B, M, -1)
+    return img, txt

@@ -1,0 +1,149 @@
+"""Functional building blocks shared by the vision and text towers.
+
+Params are plain pytrees (nested dicts of jnp arrays); every function is pure
+and jit-safe. Transformer layers are *stacked* along a leading L axis and run
+under `lax.scan` — one compiled block instead of L unrolled copies, which is
+the XLA-friendly formulation (reference keeps L separate torch modules,
+`model_clip.py:203-211`).
+
+Numerics: LayerNorm always runs in float32 ("fp32 island", reference
+`model_clip.py:157-163`); matmuls run in the caller's compute dtype with
+float32 accumulation (`preferred_element_type`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jnp.ndarray, params: dict, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis, computed in float32, cast back."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) — CLIP's GELU approximation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """y = x @ w (+ b). Weights are stored input-major ([in, out])."""
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def multi_head_attention(
+    x: jnp.ndarray,
+    params: dict,
+    num_heads: int,
+    attn_bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Self-attention with packed QKV projection.
+
+    x: [B, S, W]; params: qkv_w [W, 3W], qkv_b [3W], out_w [W, W], out_b [W].
+    attn_bias: optional additive [S, S] mask (e.g. causal -inf upper triangle).
+    """
+    B, S, W = x.shape
+    head_dim = W // num_heads
+
+    qkv = linear(x, params["qkv_w"], params["qkv_b"])  # [B, S, 3W]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def to_heads(t):
+        return t.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = to_heads(q), to_heads(k), to_heads(v)
+    scale = head_dim**-0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(logits.dtype)
+    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, W)
+    return linear(out, params["out_w"], params["out_b"])
+
+
+def residual_block(
+    x: jnp.ndarray,
+    params: dict,
+    num_heads: int,
+    attn_bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Pre-LN transformer block: MHA + QuickGELU MLP, both residual."""
+    x = x + multi_head_attention(layer_norm(x, params["ln_1"]), params["attn"], num_heads, attn_bias)
+    h = layer_norm(x, params["ln_2"])
+    h = linear(h, params["mlp"]["fc_w"], params["mlp"]["fc_b"])
+    h = quick_gelu(h)
+    h = linear(h, params["mlp"]["proj_w"], params["mlp"]["proj_b"])
+    return x + h
+
+
+def transformer(
+    x: jnp.ndarray,
+    stacked_params: dict,
+    num_heads: int,
+    attn_bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Run a stack of residual blocks via lax.scan over the leading L axis."""
+
+    def body(h, layer_params):
+        return residual_block(h, layer_params, num_heads, attn_bias), None
+
+    out, _ = jax.lax.scan(body, x, stacked_params)
+    return out
+
+
+def causal_mask(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask: 0 on/below diagonal, -inf above."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, dtype=dtype), k=1)
+    return mask
+
+
+# ------------------------------------------------------------------ init
+
+
+def init_layer_norm(width: int) -> dict:
+    return {"scale": jnp.ones((width,)), "bias": jnp.zeros((width,))}
+
+
+def init_transformer(rng: jax.Array, layers: int, width: int) -> dict:
+    """Reference init scheme (`model_clip.py:365-372`), stacked along L."""
+    proj_std = (width**-0.5) * ((2 * layers) ** -0.5)
+    attn_std = width**-0.5
+    fc_std = (2 * width) ** -0.5
+    keys = jax.random.split(rng, 4)
+
+    def stack_ln():
+        return {
+            "scale": jnp.ones((layers, width)),
+            "bias": jnp.zeros((layers, width)),
+        }
+
+    return {
+        "attn": {
+            "qkv_w": attn_std * jax.random.normal(keys[0], (layers, width, 3 * width)),
+            "qkv_b": jnp.zeros((layers, 3 * width)),
+            "out_w": proj_std * jax.random.normal(keys[1], (layers, width, width)),
+            "out_b": jnp.zeros((layers, width)),
+        },
+        "ln_1": stack_ln(),
+        "mlp": {
+            "fc_w": fc_std * jax.random.normal(keys[2], (layers, width, 4 * width)),
+            "fc_b": jnp.zeros((layers, 4 * width)),
+            "proj_w": proj_std * jax.random.normal(keys[3], (layers, 4 * width, width)),
+            "proj_b": jnp.zeros((layers, width)),
+        },
+        "ln_2": stack_ln(),
+    }

@@ -16,6 +16,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon TPU plugin in this image overrides JAX_PLATFORMS during plugin
+# registration; pinning via jax.config before first backend use wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# Full-precision f32 matmuls for parity tests (TPU default is bf16-ish MXU
+# passes; CPU honors this too and it documents the parity-mode requirement).
+jax.config.update("jax_default_matmul_precision", "highest")
+
 REFERENCE_DIR = "/root/reference/src/clip-event"
 
 
