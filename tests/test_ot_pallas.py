@@ -1,0 +1,46 @@
+"""Pallas IPOT kernel vs the pure-JAX solver (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from clip_event_tpu.ops.ot import ipot  # noqa: E402
+from clip_event_tpu.ops.ot_pallas import ipot_pallas  # noqa: E402
+from tests.test_ot import _make_inputs  # noqa: E402
+from clip_event_tpu.ops.ot import cost_matrix_cosine  # noqa: E402
+
+
+@pytest.mark.parametrize("shape", [(2, 7, 5), (3, 16, 16), (1, 1, 9)])
+def test_pallas_matches_reference_solver(shape):
+    B, M, N = shape
+    txt, img, txt_pad, img_pad = _make_inputs(B=B, M=M, N=N, seed=42)
+    joint_pad = txt_pad[:, :, None] | img_pad[:, None, :]
+    cost = np.asarray(cost_matrix_cosine(jnp.asarray(txt), jnp.asarray(img)))
+    cost = np.where(joint_pad, 0.0, cost)
+    x_len = (M - txt_pad.sum(1)).astype(np.float32)
+    y_len = (N - img_pad.sum(1)).astype(np.float32)
+
+    ref = np.asarray(
+        ipot(jnp.asarray(cost), x_len, txt_pad, y_len, img_pad, joint_pad, 0.5, 50, 1)
+    )
+    ours = np.asarray(
+        ipot_pallas(
+            jnp.asarray(cost), x_len, txt_pad, y_len, img_pad, interpret=True
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_k2_inner_iterations():
+    txt, img, txt_pad, img_pad = _make_inputs(B=2, M=6, N=4, seed=7)
+    joint_pad = txt_pad[:, :, None] | img_pad[:, None, :]
+    cost = np.where(joint_pad, 0.0, np.asarray(cost_matrix_cosine(jnp.asarray(txt), jnp.asarray(img))))
+    x_len = (6 - txt_pad.sum(1)).astype(np.float32)
+    y_len = (4 - img_pad.sum(1)).astype(np.float32)
+    ref = np.asarray(ipot(jnp.asarray(cost), x_len, txt_pad, y_len, img_pad, joint_pad, 0.5, 10, 2))
+    ours = np.asarray(
+        ipot_pallas(jnp.asarray(cost), x_len, txt_pad, y_len, img_pad, iterations=10, k=2, interpret=True)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
