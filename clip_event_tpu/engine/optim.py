@@ -1,0 +1,116 @@
+"""Optimizer + LR schedule builders (reference `engine.py:129-175`,
+`utils.py:312-416`).
+
+Torch-semantics notes preserved here:
+  * `adam` is torch `Adam` with L2-style weight decay (decay added to the
+    gradient before the moment updates — not AdamW).
+  * `sgd` is torch SGD with classic momentum.
+  * The reference constructs epoch-parameterized schedulers but calls
+    `.step()` every *batch* (`engine.py:94`). Schedules here are functions of
+    the optax step count; `steps_per_epoch=1` reproduces the reference's
+    per-step behaviour exactly, a real value gives the documented
+    epoch-granular intent.
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_right
+from typing import Optional, Sequence
+
+import optax
+
+
+def build_schedule(
+    name: str,
+    base_lr: float,
+    max_epoch: int,
+    begin_epoch: int = 0,
+    steps_per_epoch: int = 1,
+    lr_steps: Optional[Sequence[int]] = None,
+    lr_gamma: float = 0.1,
+    warmup_epochs: int = 5,
+    warmup_factor: float = 0.001,
+):
+    """Returns an optax-style schedule fn: step → lr."""
+
+    def epoch_of(step):
+        return step // steps_per_epoch
+
+    if name == "none":
+        return lambda step: base_lr
+
+    if name == "multisteplr":
+        milestones = sorted(lr_steps or [])
+
+        def sched(step):
+            e = epoch_of(step)
+            return base_lr * (lr_gamma ** bisect_right(milestones, e))
+
+        return sched
+
+    if name == "cosineannealinglr":
+        t_max = max(max_epoch - begin_epoch, 1)
+
+        def sched(step):
+            e = epoch_of(step)
+            return base_lr * 0.5 * (1.0 + math.cos(math.pi * min(e, t_max) / t_max))
+
+        return sched
+
+    if name == "warmup":  # detectron2-style WarmupCosineLR
+        def sched(step):
+            e = epoch_of(step) + begin_epoch
+            if e < warmup_epochs:
+                alpha = e / warmup_epochs
+                wf = warmup_factor * (1 - alpha) + alpha
+            else:
+                wf = 1.0
+            return base_lr * wf * 0.5 * (1.0 + math.cos(math.pi * e / max_epoch))
+
+        return sched
+
+    if name == "warmupmultisteplr":
+        milestones = sorted(lr_steps or [])
+
+        def sched(step):
+            e = epoch_of(step) + begin_epoch
+            if e < warmup_epochs:
+                alpha = e / warmup_epochs
+                wf = warmup_factor * (1 - alpha) + alpha
+            else:
+                wf = 1.0
+            return base_lr * wf * (lr_gamma ** bisect_right(milestones, e))
+
+        return sched
+
+    raise ValueError(f"invalid lr scheduler {name!r}")
+
+
+def build_optimizer(
+    name: str,
+    schedule,
+    weight_decay: float = 0.0,
+    momentum: float = 0.9,
+    grad_clip_norm: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    """Adam/SGD with global-norm clipping (reference clips at 1.0,
+    `engine.py:89`). `schedule` may be a float or a step→lr fn."""
+    parts = []
+    if grad_clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip_norm))
+
+    if name == "adam":
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    elif name == "sgd":
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=False))
+    else:
+        raise ValueError(f"invalid optimizer {name!r}")
+
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)

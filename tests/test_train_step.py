@@ -1,0 +1,124 @@
+"""Training-step tests on the virtual 8-device CPU mesh.
+
+Checks: loss decreases, the data-parallel sharded step equals the
+single-device step bit-for-bit-ish (GSPMD collectives preserve the math),
+the alignment (OT) branch trains, and the NaN guard freezes updates.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from clip_event_tpu.data.labels import build_label_layout  # noqa: E402
+from clip_event_tpu.engine.optim import build_optimizer, build_schedule  # noqa: E402
+from clip_event_tpu.engine.train_step import (  # noqa: E402
+    create_train_state,
+    make_train_step,
+)
+from clip_event_tpu.models import init_params  # noqa: E402
+from clip_event_tpu.parallel import make_mesh, replicate, shard_batch  # noqa: E402
+from tests.test_model_parity import TINY_VIT  # noqa: E402
+
+B, P, G = 8, 1, 2
+D = P + G
+
+
+def _make_batch(cfg, seed=0, alignment=False, num_obj=3, num_ent=4):
+    rng = np.random.default_rng(seed)
+    layout = build_label_layout(B, P, G, "ce", True)
+    batch = {
+        "image": rng.normal(size=(B, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32),
+        "text": rng.integers(1, cfg.vocab_size - 2, size=(B * D, cfg.context_length)).astype(np.int32),
+        "labels_per_image": layout.labels_per_image,
+        "labels_per_text": layout.labels_per_text,
+        "index_pos": layout.index_pos,
+    }
+    batch["text"][:, -1] = cfg.vocab_size - 1  # EOT
+    if alignment:
+        batch["object_image"] = rng.normal(
+            size=(B, num_obj, cfg.image_resolution, cfg.image_resolution, 3)
+        ).astype(np.float32)
+        batch["entity_text"] = rng.integers(
+            1, cfg.vocab_size - 2, size=(B, num_ent, cfg.context_length)
+        ).astype(np.int32)
+        batch["object_mask"] = np.ones((B, num_obj), np.int32)
+        batch["entity_mask"] = (rng.random((B, num_ent)) < 0.8).astype(np.int32)
+        batch["entity_mask"][:, 0] = 1
+    return batch
+
+
+def _optimizer():
+    return build_optimizer("adam", build_schedule("none", 1e-3, 10))
+
+
+def test_loss_decreases():
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = _optimizer()
+    step = make_train_step(cfg, opt, donate=False)
+    state = create_train_state(params, opt)
+    batch = _make_batch(cfg)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+        assert bool(metrics["finite"])
+    assert losses[-1] < losses[0]
+
+
+def test_dp_sharded_step_matches_single_device():
+    """Gradients from the 8-way batch-sharded computation must equal the
+    single-device gradients (GSPMD's all-gather/psum change nothing
+    mathematically). Adam *updates* amplify epsilon differences to ±2·lr via
+    sign(grad), so we compare losses and raw gradients, not post-Adam params."""
+    from clip_event_tpu.engine.train_step import loss_fn
+    import jax.numpy as jnp
+
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    batch = _make_batch(cfg, seed=1)
+
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda p, b: loss_fn(p, b, cfg, "ce", True, False, False, jnp.float32)[0]
+        )
+    )
+    loss1, grads1 = grad_fn(params, batch)
+
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    params8 = replicate(params, mesh)
+    loss8, grads8 = grad_fn(params8, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads1), jax.tree.leaves(grads8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-4)
+
+
+def test_alignment_branch_trains():
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    opt = _optimizer()
+    step = make_train_step(cfg, opt, alignment=True, donate=False)
+    state = create_train_state(params, opt)
+    batch = _make_batch(cfg, seed=2, alignment=True)
+    state, metrics = step(state, batch)
+    assert "loss_ot" in metrics
+    assert np.isfinite(float(metrics["loss_ot"]))
+    assert bool(metrics["finite"])
+
+
+def test_nan_guard_freezes_update():
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    opt = _optimizer()
+    step = make_train_step(cfg, opt, donate=False)
+    state = create_train_state(params, opt)
+    batch = _make_batch(cfg, seed=3)
+    batch["image"][0, 0, 0, 0] = np.nan
+    old_leaf = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    state, metrics = step(state, batch)
+    assert not bool(metrics["finite"])
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), old_leaf)
