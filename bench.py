@@ -1,0 +1,108 @@
+"""Headline benchmark: contrastive training throughput, ViT-B/32 CLIP-Event.
+
+Measures the fused train step (forward both towers + contrastive loss +
+backward + clipped Adam) for the reference workload shape — D=3 descriptions
+per image (1 positive + 2 hard negatives), 224² images, 77-token texts — and
+reports contrastive pairs/sec/chip, pairs = images × descriptions scored.
+
+K steps are fused into one device dispatch with `lax.scan` so the number
+reflects chip throughput, not host/tunnel dispatch latency (the reference
+synchronizes per step, `engine.py:99`; we don't need to).
+
+Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
+divides by a measured-order V100 estimate for PyTorch CLIP fine-tuning at the
+reference's configuration (batch 16/GPU, collate-in-step host preprocessing,
+DDP): ~90 pairs/s/chip. BASELINE.json's target is >5× that.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+V100_BASELINE_PAIRS_PER_SEC = 90.0
+
+BATCH_PER_CHIP = 256
+NUM_POS, NUM_NEG = 1, 2
+STEPS_PER_CALL = 10
+MEASURE_CALLS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import (
+        create_train_state,
+        make_multi_step,
+    )
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
+
+    cfg = VIT_B32
+    n_chips = len(jax.devices())
+    mesh = make_mesh(n_chips)
+
+    B = BATCH_PER_CHIP * n_chips
+    D = NUM_POS + NUM_NEG
+    rng = np.random.default_rng(0)
+    layout = build_label_layout(B, NUM_POS, NUM_NEG, "ce", True)
+    text = rng.integers(1, 49000, size=(B * D, cfg.context_length)).astype(np.int32)
+    text[:, -1] = cfg.vocab_size - 1
+    batch = {
+        "image": rng.normal(size=(B, 224, 224, 3)).astype(np.float32),
+        "text": text,
+        "labels_per_image": layout.labels_per_image,
+        "labels_per_text": layout.labels_per_text,
+        "index_pos": layout.index_pos,
+    }
+    batch = shard_batch(batch, mesh)
+
+    optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
+    _, run_k = make_multi_step(
+        cfg,
+        optimizer,
+        STEPS_PER_CALL,
+        loss_type="ce",
+        overbatch=True,
+        compute_dtype=jnp.bfloat16,
+        remat=True,
+    )
+    params = jax.tree.map(np.asarray, init_params(jax.random.PRNGKey(0), cfg))
+    state = create_train_state(replicate(params, mesh), optimizer)
+    state = state._replace(opt_state=replicate(state.opt_state, mesh))
+
+    # compile + warmup
+    state, losses = run_k(state, batch)
+    jax.block_until_ready(losses)
+
+    times = []
+    for _ in range(MEASURE_CALLS):
+        t0 = time.perf_counter()
+        state, losses = run_k(state, batch)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2] / STEPS_PER_CALL
+
+    assert np.isfinite(np.asarray(losses)).all(), "non-finite loss in benchmark"
+    pairs_per_sec_per_chip = (B * D) / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "contrastive_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec_per_chip, 2),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(
+                    pairs_per_sec_per_chip / V100_BASELINE_PAIRS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,9 +15,10 @@ Torch-semantics notes preserved here:
 from __future__ import annotations
 
 import math
-from bisect import bisect_right
 from typing import Optional, Sequence
 
+import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -32,55 +33,44 @@ def build_schedule(
     warmup_epochs: int = 5,
     warmup_factor: float = 0.001,
 ):
-    """Returns an optax-style schedule fn: step → lr."""
+    """Returns an optax-style schedule fn: step → lr (jnp-traceable — the
+    step count is a tracer inside the jitted update)."""
+    milestones = jnp.asarray(sorted(lr_steps or []) or [np.iinfo(np.int32).max], jnp.float32)
 
     def epoch_of(step):
-        return step // steps_per_epoch
+        return jnp.asarray(step, jnp.float32) // steps_per_epoch
+
+    def warmup_at(e):
+        alpha = e / warmup_epochs
+        linear = warmup_factor * (1.0 - alpha) + alpha
+        return jnp.where(e < warmup_epochs, linear, 1.0)
+
+    def decay_at(e):
+        return lr_gamma ** jnp.sum(milestones <= e).astype(jnp.float32)
 
     if name == "none":
         return lambda step: base_lr
 
     if name == "multisteplr":
-        milestones = sorted(lr_steps or [])
-
-        def sched(step):
-            e = epoch_of(step)
-            return base_lr * (lr_gamma ** bisect_right(milestones, e))
-
-        return sched
+        return lambda step: base_lr * decay_at(epoch_of(step))
 
     if name == "cosineannealinglr":
         t_max = max(max_epoch - begin_epoch, 1)
+        return lambda step: base_lr * 0.5 * (
+            1.0 + jnp.cos(math.pi * jnp.minimum(epoch_of(step), t_max) / t_max)
+        )
 
+    if name == "warmup":  # detectron2-style WarmupCosineLR (utils.py:348-386)
         def sched(step):
-            e = epoch_of(step)
-            return base_lr * 0.5 * (1.0 + math.cos(math.pi * min(e, t_max) / t_max))
+            e = epoch_of(step) + begin_epoch
+            return base_lr * warmup_at(e) * 0.5 * (1.0 + jnp.cos(math.pi * e / max_epoch))
 
         return sched
 
-    if name == "warmup":  # detectron2-style WarmupCosineLR
+    if name == "warmupmultisteplr":  # WarmupMultiStepLR (utils.py:310-345)
         def sched(step):
             e = epoch_of(step) + begin_epoch
-            if e < warmup_epochs:
-                alpha = e / warmup_epochs
-                wf = warmup_factor * (1 - alpha) + alpha
-            else:
-                wf = 1.0
-            return base_lr * wf * 0.5 * (1.0 + math.cos(math.pi * e / max_epoch))
-
-        return sched
-
-    if name == "warmupmultisteplr":
-        milestones = sorted(lr_steps or [])
-
-        def sched(step):
-            e = epoch_of(step) + begin_epoch
-            if e < warmup_epochs:
-                alpha = e / warmup_epochs
-                wf = warmup_factor * (1 - alpha) + alpha
-            else:
-                wf = 1.0
-            return base_lr * wf * (lr_gamma ** bisect_right(milestones, e))
+            return base_lr * warmup_at(e) * decay_at(e)
 
         return sched
 

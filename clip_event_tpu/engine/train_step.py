@@ -45,6 +45,7 @@ def loss_fn(
     alignment: bool,
     use_pallas_ot: bool,
     compute_dtype,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     logits_per_image, logits_per_text = clip_model.forward(
         params,
@@ -53,6 +54,7 @@ def loss_fn(
         batch["text"],
         overbatch=overbatch,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     loss_dict = contrastive_loss(
         logits_per_image,
@@ -86,6 +88,7 @@ def make_train_step(
     alignment: bool = False,
     use_pallas_ot: bool = False,
     compute_dtype=jnp.float32,
+    remat: bool = True,
     donate: bool = True,
 ):
     """Returns jitted `train_step(state, batch) -> (state, metrics)`."""
@@ -93,7 +96,7 @@ def make_train_step(
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, cfg, loss_type, overbatch, alignment,
-            use_pallas_ot, compute_dtype,
+            use_pallas_ot, compute_dtype, remat,
         )
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -109,6 +112,65 @@ def make_train_step(
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    num_steps: int,
+    **step_kwargs,
+):
+    """K training steps fused into ONE device dispatch via lax.scan.
+
+    Used for benchmarking (amortizes host→device dispatch latency away) and
+    for high-throughput training on prefetched batch stacks: `batches` is a
+    pytree whose leaves have a leading [K, ...] axis; pass `None` to reuse a
+    single closed-over batch per step.
+    """
+    donate = step_kwargs.pop("donate", True)
+
+    def step_fn(state: TrainState, batch):
+        (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, cfg,
+            step_kwargs.get("loss_type", "ce"),
+            step_kwargs.get("overbatch", True),
+            step_kwargs.get("alignment", False),
+            step_kwargs.get("use_pallas_ot", False),
+            step_kwargs.get("compute_dtype", jnp.float32),
+            step_kwargs.get("remat", True),
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        finite = jnp.isfinite(total)
+        new_params, new_opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old),
+            (new_params, new_opt_state),
+            (state.params, state.opt_state),
+        )
+        return TrainState(new_params, new_opt_state, state.step + 1), total
+
+    def many(state: TrainState, batches):
+        if batches is None:
+            raise ValueError("pass a [K, ...] batch stack or a single batch")
+        stacked = jax.tree.leaves(batches)[0].shape[0] == num_steps
+
+        def body(s, xs):
+            b = xs if stacked else batches
+            return step_fn(s, b)
+
+        xs = batches if stacked else None
+        return jax.lax.scan(body, state, xs, length=num_steps)
+
+    def many_fixed_batch(state: TrainState, batch):
+        def body(s, _):
+            return step_fn(s, batch)
+
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    return (
+        jax.jit(many, donate_argnums=(0,) if donate else ()),
+        jax.jit(many_fixed_batch, donate_argnums=(0,) if donate else ()),
+    )
 
 
 def make_eval_encoders(cfg: CLIPConfig, compute_dtype=jnp.float32):

@@ -98,6 +98,7 @@ def encode_image(
     images: jnp.ndarray,
     use_grid: bool = False,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """[B, H, W, 3] → [B, E], or [B, grid²+1, E] when use_grid (ViT only)."""
     if cfg.is_vit:
@@ -108,6 +109,7 @@ def encode_image(
             cfg.vision_heads,
             use_grid=use_grid,
             compute_dtype=compute_dtype,
+            remat=remat,
         )
     assert not use_grid, "grid features require the ViT tower"
     return resnet_encode(
@@ -120,12 +122,13 @@ def encode_text(
     cfg: CLIPConfig,
     tokens: jnp.ndarray,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """[B, context] int tokens → [B, E]; EOT pooling via argmax token id."""
     x = params["token_embedding"][tokens].astype(compute_dtype)
     x = x + params["positional_embedding"].astype(compute_dtype)
     bias = L.causal_mask(cfg.context_length)
-    x = L.transformer(x, params["text_transformer"], cfg.transformer_heads, bias)
+    x = L.transformer(x, params["text_transformer"], cfg.transformer_heads, bias, remat=remat)
     x = L.layer_norm(x, params["ln_final"])
     eot_idx = jnp.argmax(tokens, axis=-1)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
@@ -145,6 +148,7 @@ def forward(
     tokens: jnp.ndarray,
     overbatch: bool = True,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Contrastive logits (reference `CLIP.forward`, `model_clip.py:419-528`).
 
@@ -153,8 +157,12 @@ def forward(
       overbatch:  [B, B*D] and [B*D, B]
       instance:   [B, D]   and [B*D, B]  (text side is always over-batch)
     """
-    image_features = l2_normalize(encode_image(params, cfg, images, compute_dtype=compute_dtype))
-    text_features = l2_normalize(encode_text(params, cfg, tokens, compute_dtype=compute_dtype))
+    image_features = l2_normalize(
+        encode_image(params, cfg, images, compute_dtype=compute_dtype, remat=remat)
+    )
+    text_features = l2_normalize(
+        encode_text(params, cfg, tokens, compute_dtype=compute_dtype, remat=remat)
+    )
 
     scale = jnp.exp(params["logit_scale"]).astype(image_features.dtype)
     logits_per_text = scale * jnp.dot(

@@ -95,11 +95,23 @@ def transformer(
     stacked_params: dict,
     num_heads: int,
     attn_bias: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Run a stack of residual blocks via lax.scan over the leading L axis."""
+    """Run a stack of residual blocks via lax.scan over the leading L axis.
+
+    With `remat=True` each block is rematerialized in the backward pass
+    (jax.checkpoint) — activation memory drops from O(L·B·S·W) to one layer's
+    worth, the standard TPU HBM/FLOPs trade for large batches.
+    """
+    block = residual_block
+    if remat:
+        block = jax.checkpoint(
+            residual_block, policy=jax.checkpoint_policies.nothing_saveable,
+            static_argnums=(2,),
+        )
 
     def body(h, layer_params):
-        return residual_block(h, layer_params, num_heads, attn_bias), None
+        return block(h, layer_params, num_heads, attn_bias), None
 
     out, _ = jax.lax.scan(body, x, stacked_params)
     return out

@@ -33,6 +33,7 @@ def vit_encode(
     num_heads: int,
     use_grid: bool = False,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """ViT forward. Returns [B, E] (CLS-pooled) or [B, grid²+1, E] if use_grid."""
     x = images.astype(compute_dtype)
@@ -44,7 +45,7 @@ def vit_encode(
     x = jnp.concatenate([cls, x], axis=1)  # [B, G²+1, W]
     x = x + params["positional_embedding"].astype(x.dtype)
     x = L.layer_norm(x, params["ln_pre"])
-    x = L.transformer(x, params["transformer"], num_heads)
+    x = L.transformer(x, params["transformer"], num_heads, remat=remat)
     if use_grid:
         x = L.layer_norm(x, params["ln_post"])  # all tokens (grid path)
     else:
