@@ -1,0 +1,276 @@
+"""Shared data-layer infrastructure.
+
+Design (replaces the reference's collate-does-everything pattern,
+`dataset_voa.py:478-688`, which decoded JPEGs and ran BPE *inside the train
+loop on the training process*): every dataset here returns per-example
+numpy dicts with **static shapes** (ragged axes padded to config caps + 0/1
+masks), so batching is a trivial `np.stack`, examples are prepared by a pool
+of host workers, and batches are double-buffered onto the device while the
+previous step runs. XLA never sees a dynamic shape.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import pickle
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from operator import itemgetter
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from clip_event_tpu.data.transform import preprocess_image
+
+
+def load_image_file(path: str, size: int = 224) -> np.ndarray:
+    """Decode + CLIP-preprocess one image file → float32 [size, size, 3]."""
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    Image.MAX_IMAGE_PIXELS = 933120000
+    with Image.open(path) as img:
+        return preprocess_image(img, size)
+
+
+def load_object_crops(
+    path: str,
+    detections: Sequence[dict],
+    allowed_labels: Dict[str, str],
+    threshold: float = 0.2,
+    topk: int = 50,
+    size: int = 224,
+):
+    """Whole image at slot 0 + CLIP-preprocessed crops of detections.
+
+    Mirrors `load_img_object` (`dataset_voa.py:181-248`): detections are
+    score-sorted ascending, filtered to the allowed-label ontology and the
+    score threshold, capped at `topk`. Returns (crops [n, size, size, 3],
+    ids, label names) with n ≤ topk + 1.
+    """
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    Image.MAX_IMAGE_PIXELS = 933120000
+
+    with Image.open(path) as img:
+        img = img.convert("RGB")
+        crops = [preprocess_image(img, size)]
+        ids = ["0_0_0_0"]
+        labels = ["UNKNOWN"]
+        count = 1
+        for det in sorted(detections, key=itemgetter("score")):
+            if count > topk:
+                break
+            if det["label"] not in allowed_labels or det["score"] < threshold:
+                continue
+            bbox = det["bbox"]
+            try:
+                patch = img.crop(bbox)
+                crops.append(preprocess_image(patch, size))
+            except Exception:
+                continue
+            ids.append("%d_%d_%d_%d" % tuple(int(v) for v in bbox))
+            labels.append(allowed_labels[det["label"]])
+            count += 1
+    return np.stack(crops), ids, labels
+
+
+def load_object_label_map(class_map_csv: str) -> Dict[str, str]:
+    """Open-Images class map: rows `label_id,name,is_arg_type` — keep rows
+    flagged '1' (reference `get_object_labels`, `dataset_voa.py:168-179`)."""
+    out = {}
+    with open(class_map_csv, newline="") as fh:
+        for row in csv.reader(fh):
+            if len(row) >= 3 and row[2] == "1":
+                out[row[0]] = row[1]
+    return out
+
+
+def load_detection_pickles(paths: Sequence[str]) -> dict:
+    results: dict = {}
+    for p in paths:
+        with open(p, "rb") as fh:
+            results.update(pickle.load(fh))
+    return results
+
+
+def pad_stack(
+    arrays: List[np.ndarray], cap: int, pad_shape=None, dtype=np.float32
+) -> np.ndarray:
+    """Stack a variable-length list of same-shape items into [cap, ...],
+    zero-padding the missing slots. `pad_shape`/`dtype` describe one item
+    when the list may be empty."""
+    if arrays:
+        tail = arrays[0].shape
+        dtype = arrays[0].dtype
+    else:
+        tail = tuple(pad_shape or ())
+    out = np.zeros((cap,) + tuple(tail), dtype=dtype)
+    for i, a in enumerate(arrays[:cap]):
+        out[i] = a
+    return out
+
+
+def shorten_context(text: str, limit: int = 350) -> str:
+    """Caption cleanup (reference `dataset_voa.py:88-91`)."""
+    return text.replace("FILE - ", "")[:limit]
+
+
+class DataLoader:
+    """Sharded, multi-worker, prefetching loader.
+
+    Replaces `DistributedSampler` + torch `DataLoader(num_workers=0)`
+    (`train.py:190-216`): each process sees its `rank`-strided slice of the
+    (optionally shuffled) index space, `num_workers` threads run the
+    dataset's `__getitem__` (PIL decode + transform release the GIL), and up
+    to `prefetch` ready batches are buffered ahead of the consumer.
+
+    Yields (batch_dict, meta_list) where batch_dict maps field → stacked
+    numpy array and meta_list carries per-example non-tensor info (ids).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 999,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        rank: int = 0,
+        world_size: int = 1,
+        epoch: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.rank = rank
+        self.world_size = world_size
+        self.epoch = epoch
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (reference `train_sampler.set_epoch`)."""
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        # pad so every rank gets the same number of samples, then stride
+        per_rank = -(-n // self.world_size)
+        padded = np.resize(order, per_rank * self.world_size)
+        return padded[self.rank :: self.world_size]
+
+    def __len__(self) -> int:
+        per_rank = len(self._indices())
+        if self.drop_last:
+            return per_rank // self.batch_size
+        return -(-per_rank // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        indices = self._indices()
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        stop = threading.Event()
+
+        def build_batch(chunk):
+            pool = getattr(self, "_pool", None)
+            if pool is None:
+                pool = self._pool = _DaemonPool(self.num_workers)
+            examples = pool.map(self.dataset.__getitem__, chunk)
+            tensors = {
+                k: np.stack([ex[0][k] for ex in examples]) for k in examples[0][0]
+            }
+            meta = [ex[1] for ex in examples]
+            tensors.update(self.dataset.batch_extras(len(examples)))
+            tensors = self.dataset.finalize_batch(tensors)
+            return tensors, meta
+
+        def produce():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    item = build_batch(
+                        indices[b * self.batch_size : (b + 1) * self.batch_size]
+                    )
+                    while not stop.is_set():
+                        try:
+                            out_q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+            finally:
+                try:
+                    out_q.put_nowait(sentinel)
+                except queue.Full:
+                    pass
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+class _DaemonPool:
+    """Minimal map-style thread pool whose workers never block interpreter
+    exit (ThreadPoolExecutor workers are non-daemon and deadlock teardown if
+    a loader iterator is abandoned mid-epoch)."""
+
+    def __init__(self, num_workers: int):
+        self._tasks: "queue.Queue" = queue.Queue()
+        for _ in range(num_workers):
+            threading.Thread(target=self._worker, daemon=True).start()
+
+    def _worker(self):
+        while True:
+            fn, arg, slot, results, done = self._tasks.get()
+            try:
+                results[slot] = (True, fn(arg))
+            except BaseException as exc:  # propagate to consumer
+                results[slot] = (False, exc)
+            done.release()
+
+    def map(self, fn: Callable, args) -> list:
+        args = list(args)
+        results: list = [None] * len(args)
+        done = threading.Semaphore(0)
+        for slot, arg in enumerate(args):
+            self._tasks.put((fn, arg, slot, results, done))
+        for _ in args:
+            done.acquire()
+        out = []
+        for ok, value in results:
+            if not ok:
+                raise value
+            out.append(value)
+        return out
+
+
+class ExampleDataset:
+    """Base: subclasses implement __len__ and __getitem__ → (tensors, meta)."""
+
+    def batch_extras(self, batch_size: int) -> Dict[str, np.ndarray]:
+        """Per-batch constant tensors (e.g. label layouts)."""
+        return {}
+
+    def finalize_batch(self, tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Batch-level reshapes (e.g. [B, D, 77] → [B·D, 77])."""
+        return tensors

@@ -1,0 +1,245 @@
+"""VOA news image–caption datasets (reference `dataset_voa.py`).
+
+`VOACaptionDataset` — plain image–caption pairs for zero-shot matching
+(reference `VOADataset`, `dataset_voa.py:61-159`).
+
+`VOADescriptionDataset` — the contrastive fine-tuning workload
+(`dataset_voa.py:371-688`): positives + hard-negative event/argument
+descriptions per image, optional object-detection crops channel, optional
+text-IE (entity/event mention) channel. All ragged axes are padded to fixed
+caps with presence masks (the reference padded to the per-batch max, which
+is a different dynamic shape every step — an XLA recompile per batch).
+
+Data artifacts consumed (same contracts as the reference):
+  * image_caption_mapping.json: {doc_id: {idx: {url, cap}}}
+  * descriptions_<pos>_<neg>.json: {image_id: {pos, neg_event, neg_argument}}
+  * object detection .pkl: {image_id: [{label, bbox, score}, ...]}
+  * class-descriptions-boxable.csv ontology, merged.cs / event_rewrite.cs
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from clip_event_tpu.data.coldstart import (
+    IEIndex,
+    doc_entity_names,
+    doc_event_names,
+    load_ie_index,
+)
+from clip_event_tpu.data.common import (
+    ExampleDataset,
+    load_image_file,
+    load_object_crops,
+    load_object_label_map,
+    load_detection_pickles,
+    pad_stack,
+    shorten_context,
+)
+from clip_event_tpu.data.labels import build_label_layout
+from clip_event_tpu.tokenizer import CONTEXT_LENGTH, tokenize
+
+log = logging.getLogger(__name__)
+
+
+def clean_image_id(image_id: str) -> str:
+    return image_id.replace(".", "_")
+
+
+def load_image_caption_pairs(
+    image_caption_jsons: Sequence[str], image_dirs: Sequence[str]
+) -> List[dict]:
+    """Flatten {doc: {idx: {url, cap}}} files into per-image records."""
+    records = []
+    for mapping_json, image_dir in zip(image_caption_jsons, image_dirs):
+        with open(mapping_json) as fh:
+            data = json.load(fh)
+        for doc_id in data:
+            for image_idx in data[doc_id]:
+                records.append(
+                    {
+                        "image_id": clean_image_id(f"{doc_id}_{image_idx}"),
+                        "image_dir": image_dir,
+                        "url": data[doc_id][image_idx].get("url", ""),
+                        "caption": shorten_context(
+                            data[doc_id][image_idx]["cap"], limit=10**9
+                        ),
+                    }
+                )
+    return records
+
+
+class VOACaptionDataset(ExampleDataset):
+    """Image–caption pairs; identity contrastive labels."""
+
+    def __init__(
+        self,
+        image_caption_jsons: Sequence[str],
+        image_dirs: Sequence[str],
+        image_size: int = 224,
+    ):
+        self.image_size = image_size
+        self.data = load_image_caption_pairs(image_caption_jsons, image_dirs)
+        log.info("Loaded %d instances from %s", len(self.data), image_caption_jsons)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx: int):
+        inst = self.data[idx]
+        path = os.path.join(inst["image_dir"], inst["image_id"] + ".jpg")
+        tensors = {
+            "image": load_image_file(path, self.image_size),
+            "text": tokenize(inst["caption"])[0],
+        }
+        return tensors, {"image_id": inst["image_id"], "caption": inst["caption"]}
+
+    def batch_extras(self, batch_size: int):
+        eye = np.arange(batch_size, dtype=np.int32)
+        return {
+            "labels_per_image": eye,
+            "labels_per_text": eye,
+            "index_pos": eye,
+        }
+
+
+class VOADescriptionDataset(ExampleDataset):
+    """Contrastive fine-tune batches with hard negatives (+objects, +IE)."""
+
+    def __init__(
+        self,
+        posneg_descriptions_json: str,
+        image_caption_jsons: Sequence[str],
+        image_dirs: Sequence[str],
+        # object channel
+        load_object: bool = False,
+        object_pickles: Optional[Sequence[str]] = None,
+        object_ontology_file: Optional[str] = None,
+        object_detection_threshold: float = 0.2,
+        object_topk: int = 50,
+        max_objects: Optional[int] = None,  # cap incl. whole-image slot 0
+        # IE channel
+        load_ie: bool = False,
+        input_entities: Optional[Sequence[str]] = None,
+        input_events: Optional[Sequence[str]] = None,
+        max_entities: int = 16,
+        max_events: int = 8,
+        # loss layout
+        contrastive_loss: str = "ce",
+        overbatch: bool = True,
+        image_size: int = 224,
+    ):
+        self.image_size = image_size
+        self.contrastive_loss = contrastive_loss
+        self.overbatch = overbatch
+
+        with open(posneg_descriptions_json) as fh:
+            descriptions = json.load(fh)
+
+        self.data = []
+        for rec in load_image_caption_pairs(image_caption_jsons, image_dirs):
+            desc = descriptions.get(rec["image_id"])
+            if desc is None:
+                continue
+            rec["pos"] = desc["pos"]
+            rec["neg_event"] = desc["neg_event"]
+            rec["neg_argument"] = desc.get("neg_argument", desc["neg_event"])
+            self.data.append(rec)
+        if not self.data:
+            raise ValueError("no images matched the descriptions json")
+
+        first = self.data[0]
+        self.num_pos = len(first["pos"])
+        self.num_neg = len(first["neg_event"]) + len(first["neg_argument"])
+        self.num_desc = self.num_pos + self.num_neg
+        log.info(
+            "Loaded %d instances (%d descriptions each) from %s",
+            len(self.data), self.num_desc, image_caption_jsons,
+        )
+
+        self.load_object = load_object
+        if load_object:
+            self.object_threshold = object_detection_threshold
+            self.object_topk = object_topk
+            self.max_objects = max_objects or (object_topk + 1)
+            self.object_labels = load_object_label_map(object_ontology_file)
+            self.object_results = load_detection_pickles(object_pickles or [])
+
+        self.load_ie = load_ie
+        if load_ie:
+            self.max_entities = max_entities
+            self.max_events = max_events
+            self.ie: IEIndex = load_ie_index(input_entities, input_events)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx: int):
+        inst = self.data[idx]
+        image_id = inst["image_id"]
+        path = os.path.join(inst["image_dir"], image_id + ".jpg")
+
+        texts = list(inst["pos"]) + list(inst["neg_event"]) + list(inst["neg_argument"])
+        tensors = {"text": tokenize(texts)}
+        meta = {"image_id": image_id, "descriptions": texts}
+
+        if self.load_object:
+            crops, obj_ids, obj_labels = load_object_crops(
+                path,
+                self.object_results.get(image_id, []),
+                self.object_labels,
+                threshold=self.object_threshold,
+                topk=min(self.object_topk, self.max_objects - 1),
+                size=self.image_size,
+            )
+            tensors["image"] = crops[0]
+            n = min(len(crops), self.max_objects)
+            tensors["object_image"] = pad_stack(list(crops), self.max_objects)
+            mask = np.zeros(self.max_objects, np.int32)
+            mask[:n] = 1
+            tensors["object_mask"] = mask
+            meta["object_ids"] = obj_ids[: self.max_objects]
+            meta["object_labels"] = obj_labels[: self.max_objects]
+        else:
+            tensors["image"] = load_image_file(path, self.image_size)
+
+        if self.load_ie:
+            ent_names = doc_entity_names(self.ie, image_id)[: self.max_entities]
+            evt_names = doc_event_names(self.ie, image_id)[: self.max_events]
+            ent_tok = tokenize(ent_names) if ent_names else np.zeros((0, CONTEXT_LENGTH), np.int32)
+            evt_tok = tokenize(evt_names) if evt_names else np.zeros((0, CONTEXT_LENGTH), np.int32)
+            tensors["entity_text"] = pad_stack(list(ent_tok), self.max_entities,
+                                               pad_shape=(CONTEXT_LENGTH,)).astype(np.int32)
+            tensors["event_text"] = pad_stack(list(evt_tok), self.max_events,
+                                              pad_shape=(CONTEXT_LENGTH,)).astype(np.int32)
+            ent_mask = np.zeros(self.max_entities, np.int32)
+            ent_mask[: len(ent_names)] = 1
+            evt_mask = np.zeros(self.max_events, np.int32)
+            evt_mask[: len(evt_names)] = 1
+            tensors["entity_mask"] = ent_mask
+            tensors["event_mask"] = evt_mask
+            meta["entity_names"] = ent_names
+            meta["event_names"] = evt_names
+
+        return tensors, meta
+
+    def batch_extras(self, batch_size: int):
+        layout = build_label_layout(
+            batch_size, self.num_pos, self.num_neg,
+            self.contrastive_loss, self.overbatch,
+        )
+        return {
+            "labels_per_image": layout.labels_per_image,
+            "labels_per_text": layout.labels_per_text,
+            "index_pos": layout.index_pos,
+        }
+
+    def finalize_batch(self, tensors):
+        # flatten descriptions: [B, D, 77] → [B·D, 77] (dataset_voa.py:605-612)
+        tensors["text"] = tensors["text"].reshape(-1, tensors["text"].shape[-1])
+        return tensors
