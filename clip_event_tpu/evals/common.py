@@ -1,0 +1,85 @@
+"""Shared zero-shot eval machinery.
+
+All evals reduce to: encode every image and every candidate text with the
+jitted normalized encoders (fixed batch shapes — the last partial batch is
+padded, never a recompile), then score cosine logits on the host. The
+reference documents these entry points but ships none (`README.md:212-229`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Tuple
+
+import numpy as np
+
+from clip_event_tpu.engine.train_step import make_eval_encoders
+from clip_event_tpu.models.clip import CLIPConfig
+
+
+class Encoders:
+    """Padded-batch wrappers around the jitted encoders."""
+
+    def __init__(self, params, cfg: CLIPConfig, batch_size: int = 64, compute_dtype=None):
+        import jax.numpy as jnp
+
+        dtype = compute_dtype or jnp.float32
+        self._image_fn, self._text_fn = make_eval_encoders(cfg, compute_dtype=dtype)
+        self.params = params
+        self.batch_size = batch_size
+
+    def _batched(self, fn, items: np.ndarray) -> np.ndarray:
+        n = items.shape[0]
+        out: List[np.ndarray] = []
+        B = self.batch_size
+        for start in range(0, n, B):
+            chunk = items[start : start + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            feats = np.asarray(fn(self.params, chunk))
+            out.append(feats[: B - pad])
+        return np.concatenate(out) if out else np.zeros((0,))
+
+    def images(self, images: np.ndarray) -> np.ndarray:
+        return self._batched(self._image_fn, images)
+
+    def texts(self, tokens: np.ndarray) -> np.ndarray:
+        return self._batched(self._text_fn, tokens)
+
+
+def collect(loader, fields: Tuple[str, ...]):
+    """Drain a DataLoader, concatenating the given tensor fields + metas."""
+    tensors = {f: [] for f in fields}
+    metas = []
+    for batch, meta in loader:
+        for f in fields:
+            tensors[f].append(batch[f])
+        metas.extend(meta)
+    out = {f: np.concatenate(v) for f, v in tensors.items() if v}
+    return out, metas
+
+
+def recall_at_k(ranks: np.ndarray, ks=(1, 5, 10)) -> dict:
+    return {f"R@{k}": float((ranks < k).mean()) for k in ks}
+
+
+def macro_prf(gold: np.ndarray, pred: np.ndarray, num_classes: int) -> dict:
+    """Macro precision/recall/F1 over classes present in gold."""
+    ps, rs, fs = [], [], []
+    for c in range(num_classes):
+        tp = int(((pred == c) & (gold == c)).sum())
+        fp = int(((pred == c) & (gold != c)).sum())
+        fn = int(((pred != c) & (gold == c)).sum())
+        if tp + fn == 0:
+            continue  # class absent from gold
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn)
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        ps.append(p)
+        rs.append(r)
+        fs.append(f)
+    return {
+        "macro_precision": float(np.mean(ps)) if ps else 0.0,
+        "macro_recall": float(np.mean(rs)) if rs else 0.0,
+        "macro_f1": float(np.mean(fs)) if fs else 0.0,
+    }

@@ -1,0 +1,157 @@
+"""Dataset + zero-shot eval driver tests on synthetic fixtures with a tiny
+real-vocab CLIP (context 77, vocab 49408, 32² images)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from clip_event_tpu.data.common import DataLoader  # noqa: E402
+from clip_event_tpu.data.m2e2 import M2E2Dataset  # noqa: E402
+from clip_event_tpu.data.meed import MEEDDataset  # noqa: E402
+from clip_event_tpu.data.retrieval import COCODataset, FlickrDataset  # noqa: E402
+from clip_event_tpu.data.situation import ImSituDataset  # noqa: E402
+from clip_event_tpu.data.sr import GSRDataset  # noqa: E402
+from clip_event_tpu.data.text import TextDataset  # noqa: E402
+from clip_event_tpu.data.vcr import VCRDataset  # noqa: E402
+from clip_event_tpu.data.visualcomet import VisualCOMETDataset  # noqa: E402
+from clip_event_tpu.evals.gsr import evaluate_gsr  # noqa: E402
+from clip_event_tpu.evals.m2e2 import evaluate_m2e2  # noqa: E402
+from clip_event_tpu.evals.retrieval import evaluate_retrieval  # noqa: E402
+from clip_event_tpu.evals.vcr import evaluate_vcr  # noqa: E402
+from clip_event_tpu.evals.visualcomet import evaluate_visualcomet  # noqa: E402
+from clip_event_tpu.models import CLIPConfig, init_params  # noqa: E402
+from tests import fixtures  # noqa: E402
+
+TINY_EVAL = CLIPConfig(
+    embed_dim=64,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=64,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    transformer_width=64,
+    transformer_heads=1,
+    transformer_layers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), TINY_EVAL)
+
+
+def test_m2e2_eval(tmp_path, params):
+    paths = fixtures.make_m2e2_fixture(str(tmp_path))
+    ds = M2E2Dataset(paths["anno_json"], paths["image_dir"], paths["ontology_json"],
+                     image_size=32)
+    assert len(ds) == 8
+    assert ds.candidate_tokens.shape[0] == 3
+    m = evaluate_m2e2(params, TINY_EVAL, ds, batch_size=4)
+    assert 0.0 <= m["accuracy"] <= 1.0
+    assert m["num_images"] == 8
+    assert "macro_f1" in m
+
+
+@pytest.mark.parametrize("prompt", ["def", "abstract", "name", "short"])
+def test_gsr_prompts(tmp_path, prompt):
+    paths = fixtures.make_swig_fixture(str(tmp_path))
+    ds = GSRDataset(paths["anno_json"], paths["image_dir"], paths["ontology_json"],
+                    prompt=prompt, image_size=32)
+    tensors, meta = ds[0]
+    assert tensors["image"].shape == (32, 32, 3)
+    assert tensors["role_text"].shape == (6, 77)
+    assert tensors["role_mask"][:2].sum() == 2
+    assert tensors["role_bbox"][1][0] == -1.0  # place has no box
+
+
+def test_gsr_eval(tmp_path, params):
+    paths = fixtures.make_swig_fixture(str(tmp_path))
+    ds = GSRDataset(paths["anno_json"], paths["image_dir"], paths["ontology_json"],
+                    prompt="name", image_size=32)
+    m = evaluate_gsr(params, TINY_EVAL, ds, batch_size=3)
+    assert 0.0 <= m["verb_top1"] <= m["verb_top5"] <= 1.0
+    assert m["grounded_args"] == 6  # one grounded role per image
+    assert 0.0 <= m["grounding_acc"] <= 1.0
+
+
+def test_vcr_eval(tmp_path, params):
+    paths = fixtures.make_vcr_fixture(str(tmp_path))
+    for rationale in (False, True):
+        ds = VCRDataset(paths["qa_jsonl"], paths["image_dir"], rationale=rationale,
+                        image_size=32)
+        assert len(ds) == 5
+        tensors, _ = ds[0]
+        assert tensors["text"].shape == (4, 77)
+        m = evaluate_vcr(params, TINY_EVAL, ds, batch_size=4)
+        assert m["num_questions"] == 5
+    # object-name substitution
+    assert "person" in ds.data[0]["question"]
+
+
+def test_retrieval_evals(tmp_path, params):
+    paths = fixtures.make_retrieval_fixture(str(tmp_path))
+    coco = COCODataset(paths["coco_json"], paths["coco_dir"], image_size=32)
+    assert len(coco) == 4
+    m = evaluate_retrieval(params, TINY_EVAL, coco, batch_size=4)
+    assert set(m) >= {"t2i_R@1", "i2t_R@1", "num_images"}
+
+    flickr = FlickrDataset(paths["flickr_split"], paths["flickr_csv"],
+                           paths["flickr_dir"], image_size=32)
+    assert len(flickr) == 4
+    tensors, _ = flickr[0]
+    assert tensors["text"].shape == (5, 77)
+
+
+def test_visualcomet_eval(tmp_path, params):
+    paths = fixtures.make_visualcomet_fixture(str(tmp_path))
+    ds = VisualCOMETDataset(paths["anno_json"], paths["image_dir"], field="intent",
+                            image_size=32)
+    assert len(ds) == 5
+    assert len(ds.candidates) == 10  # 2 intents per image
+    m = evaluate_visualcomet(params, TINY_EVAL, ds, batch_size=4)
+    assert m["num_candidates"] == 10
+    assert 0.0 <= m["R@1"] <= m["R@5"] <= 1.0
+
+
+def test_meed_dataset(tmp_path):
+    paths = fixtures.make_meed_fixture(str(tmp_path))
+    for prompt, expected in [("verbprefix", 4), ("text", 12), ("event", 4)]:
+        ds = MEEDDataset(paths["anno_json"], paths["image_dir"], prompt=prompt,
+                         image_size=32)
+        assert len(ds) == expected
+    tensors, meta = ds[0]
+    assert tensors["text"].shape == (77,)
+
+
+def test_imsitu_dataset(tmp_path):
+    paths = fixtures.make_swig_fixture(str(tmp_path))
+    ds = ImSituDataset(
+        image_dir=paths["image_dir"],
+        imsitu_ontology_file=paths["ontology_json"],
+        imsitu_annotation_file=paths["anno_json"],
+        verb_mapping_file=paths["mapping_tsv"],
+        max_args=4,
+        image_size=32,
+    )
+    assert len(ds) == 6
+    tensors, meta = ds[0]
+    assert tensors["roles"].shape == (4,)
+    assert int(tensors["arg_num"]) >= 1
+    assert tensors["image"].shape == (32, 32, 3)
+    # verb-role mask licenses the annotated roles
+    v = int(tensors["verb"])
+    assert ds.role_mask[v].sum() >= 2
+    # event mapping: marching → B-Conflict.Demonstrate
+    marching_idx = ds.vocab_verb.get("marching")
+    events = [int(ds[i][0]["event"]) for i in range(len(ds))
+              if int(ds[i][0]["verb"]) == marching_idx]
+    assert all(e == ds.event2id["B-Conflict.Demonstrate"] for e in events)
+
+
+def test_text_dataset():
+    ds = TextDataset(["a cat", "a dog"])
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    tensors, meta = next(iter(loader))
+    assert tensors["text"].shape == (2, 77)
