@@ -1,0 +1,143 @@
+"""Config-JSON contract (reference README.md:151-197) with real validation.
+
+Same keys and semantics as the reference's `--cfg` JSON (including the
+original `constrastive_*` spellings), plus a schema layer the reference
+lacked: type/choice checks, cross-field constraints (bce↔instance,
+kl↔overbatch, alignment⇒object+IE channels), and defaults for every
+optional key. New TPU-specific keys are additive and default sensibly:
+
+  compute_dtype          'float32' | 'bfloat16'      (default bfloat16)
+  remat                  bool                        (default true)
+  use_pallas_ot          bool                        (default false)
+  num_workers            host loader threads         (default 8)
+  max_objects/max_entities/max_events  static-shape caps
+  steps_per_epoch_schedule  bool — true reproduces the reference's
+      per-step scheduler stepping (`engine.py:94`), false steps per epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional
+
+_CHOICES = {
+    "constrastive_loss": ("ce", "bce", "kl"),
+    "optimizer": ("adam", "sgd"),
+    "lr_scheduler": ("cosineannealinglr", "multisteplr", "warmup", "warmupmultisteplr", "none"),
+    "log_level": ("info", "debug"),
+    "compute_dtype": ("float32", "bfloat16"),
+}
+
+_REQUIRED = ("task", "constrastive_loss", "batch_size", "lr", "optimizer", "max_epoch")
+
+_DEFAULTS: Dict[str, Any] = {
+    "constrastive_overbatch": True,
+    "alignment": False,
+    "multiattention": False,
+    "posneg_descriptions_json": None,
+    "image_caption_json": [],
+    "image_dir": [],
+    "load_object": False,
+    "object_pickle": [],
+    "object_ontology_file": None,
+    "object_detection_threshold": 0.2,
+    "object_topk": 50,
+    "load_ie": False,
+    "ie_ontology_json": None,
+    "input_entities": [],
+    "input_events": [],
+    "ltf_dir": None,
+    "load_sr": False,
+    "sync_bn": False,
+    "ckpt_dir": "checkpoints",
+    "tb_log_dir": "logs",
+    "print_freq": 1,
+    "log_level": "info",
+    "is_train": True,
+    "begin_ckpt": None,
+    "jit": False,
+    "begin_epoch": 0,
+    "max_epoch": 30,
+    "weight_decay": 0.0,
+    "momentum": 0.9,
+    "lr_scheduler": "none",
+    "lr_steps": [],
+    "lr_gamma": 0.1,
+    "warmup_epoch": 5,
+    "seed": 999,
+    "grad_clip_norm": 1.0,
+    # TPU-native additions
+    "model": "ViT-B/32",
+    "compute_dtype": "bfloat16",
+    "remat": True,
+    "use_pallas_ot": False,
+    "num_workers": 8,
+    "prefetch": 2,
+    "max_objects": None,
+    "max_entities": 16,
+    "max_events": 8,
+    "steps_per_epoch_schedule": True,
+}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Fill defaults and enforce the schema. Returns a new dict."""
+    out = dict(_DEFAULTS)
+    out.update(cfg)
+
+    missing = [k for k in _REQUIRED if k not in out or out[k] is None]
+    if missing:
+        raise ConfigError(f"missing required config keys: {missing}")
+
+    for key, choices in _CHOICES.items():
+        if out.get(key) is not None and out[key] not in choices:
+            raise ConfigError(f"{key}={out[key]!r} not in {choices}")
+
+    if not isinstance(out["batch_size"], int) or out["batch_size"] <= 0:
+        raise ConfigError("batch_size must be a positive int")
+    if out["begin_epoch"] > out["max_epoch"]:
+        raise ConfigError("begin_epoch must be ≤ max_epoch")
+
+    loss = out["constrastive_loss"]
+    if loss == "bce" and out["constrastive_overbatch"]:
+        raise ConfigError("set constrastive_overbatch=false for constrastive_loss='bce'")
+    if loss == "kl" and not out["constrastive_overbatch"]:
+        raise ConfigError("set constrastive_overbatch=true for constrastive_loss='kl'")
+
+    if out["alignment"]:
+        if not out["load_object"] or not out["load_ie"]:
+            raise ConfigError(
+                "alignment=true requires load_object=true and load_ie=true "
+                "(OT aligns detected objects with text entities)"
+            )
+    if out["load_object"] and not out["object_ontology_file"]:
+        raise ConfigError("load_object=true requires object_ontology_file")
+    return out
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path) as fh:
+        return validate_config(json.load(fh))
+
+
+def model_config(cfg: Dict[str, Any]):
+    """Resolve the model spec: a preset name or an explicit dict."""
+    from clip_event_tpu.models.clip import RN50, VIT_B16, VIT_B32, VIT_L14, CLIPConfig
+
+    presets = {"ViT-B/32": VIT_B32, "ViT-B/16": VIT_B16, "ViT-L/14": VIT_L14, "RN50": RN50}
+    spec = cfg.get("model", "ViT-B/32")
+    if isinstance(spec, str):
+        if spec not in presets:
+            raise ConfigError(f"unknown model preset {spec!r}; options: {list(presets)}")
+        return presets[spec]
+    if isinstance(spec, dict):
+        vl = spec.get("vision_layers")
+        if isinstance(vl, list):
+            spec = dict(spec, vision_layers=tuple(vl))
+        return CLIPConfig(**spec)
+    raise ConfigError("model must be a preset name or a CLIPConfig dict")

@@ -197,6 +197,15 @@ class DataLoader:
             tensors = self.dataset.finalize_batch(tensors)
             return tensors, meta
 
+        def put_with_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for b in range(n_batches):
@@ -205,17 +214,10 @@ class DataLoader:
                     item = build_batch(
                         indices[b * self.batch_size : (b + 1) * self.batch_size]
                     )
-                    while not stop.is_set():
-                        try:
-                            out_q.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
+                    if not put_with_stop(item):
+                        return
             finally:
-                try:
-                    out_q.put_nowait(sentinel)
-                except queue.Full:
-                    pass
+                put_with_stop(sentinel)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

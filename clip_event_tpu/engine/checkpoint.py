@@ -1,0 +1,128 @@
+"""Checkpoint save/resume (reference `save_model_on_master`,
+`engine.py:202-218`, and the resume path `train.py:108-124`).
+
+Layout parity: one checkpoint per epoch under `<ckpt_dir>/<task>/` carrying
+{epoch, model: task, state_dict → params, perf, optimizer → opt_state}.
+Storage is orbax (async-safe, pytree-native); interop with the torch world
+goes through the OpenAI-format converter:
+
+  * `import_initial_checkpoint` reads an OpenAI JIT archive / torch .pth /
+    reference training checkpoint into (params, CLIPConfig),
+  * `export_torch_checkpoint` writes a reference-loadable .pth.
+
+Only process 0 writes (reference rank-0 gate); all processes restore.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+from clip_event_tpu.models.clip import CLIPConfig
+from clip_event_tpu.models.convert import (
+    config_from_state_dict,
+    load_torch_checkpoint,
+    params_from_state_dict,
+    state_dict_from_params,
+)
+
+log = logging.getLogger(__name__)
+
+
+def _ckpt_path(ckpt_dir: str, task: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), task, f"{task}_{epoch}")
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    task: str,
+    epoch: int,
+    params: Any,
+    opt_state: Any,
+    perf: float = 0.0,
+) -> Optional[str]:
+    """Rank-0 save; errors are logged, not raised (engine.py:215-218)."""
+    if jax.process_index() != 0:
+        return None
+    import orbax.checkpoint as ocp
+
+    path = _ckpt_path(ckpt_dir, task, epoch)
+    try:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(
+                path,
+                {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                },
+                force=True,
+            )
+        meta = {"epoch": epoch, "model": task, "perf": float(perf)}
+        with open(path + ".meta.json", "w") as fh:
+            json.dump(meta, fh)
+        log.info("=> saved checkpoint to %s", path)
+        return path
+    except Exception:
+        log.exception("=> error when saving checkpoint!")
+        return None
+
+
+def restore_checkpoint(path: str) -> Tuple[Any, Any, dict]:
+    """Returns (params, opt_state, meta{epoch, model, perf})."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    meta = {"epoch": 0, "model": "", "perf": 0.0}
+    if os.path.exists(path + ".meta.json"):
+        meta.update(json.load(open(path + ".meta.json")))
+    return tree["params"], tree["opt_state"], meta
+
+
+def latest_checkpoint(ckpt_dir: str, task: str) -> Optional[str]:
+    base = os.path.join(os.path.abspath(ckpt_dir), task)
+    if not os.path.isdir(base):
+        return None
+    best = None
+    for name in os.listdir(base):
+        if name.startswith(task + "_") and not name.endswith(".meta.json"):
+            try:
+                epoch = int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if best is None or epoch > best[0]:
+                best = (epoch, os.path.join(base, name))
+    return best[1] if best else None
+
+
+def import_initial_checkpoint(path: str) -> Tuple[Any, CLIPConfig]:
+    """Torch-world weights (OpenAI JIT archive / state_dict .pth / reference
+    training ckpt) → (params pytree, inferred CLIPConfig)."""
+    sd = load_torch_checkpoint(path)
+    return params_from_state_dict(sd)
+
+
+def export_torch_checkpoint(
+    path: str, params: Any, cfg: CLIPConfig, epoch: int, task: str, perf: float = 0.0,
+    opt_state: Any = None,
+) -> None:
+    """Write a reference-format .pth so reference tooling can consume our
+    checkpoints (requires torch on the host)."""
+    import torch
+
+    sd = state_dict_from_params(jax.tree.map(np.asarray, params), cfg)
+    torch.save(
+        {
+            "epoch": epoch,
+            "model": task,
+            "state_dict": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+            "perf": perf,
+            "optimizer": {},
+        },
+        path,
+    )

@@ -1,0 +1,58 @@
+"""Shared CLI plumbing for the eval entry points (README.md:212-229)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--cfg", type=str, required=True, help="eval config JSON")
+    return parser
+
+
+def load_model_from_cfg(cfg: dict):
+    """Returns (params, CLIPConfig) from `ckpt` (orbax dir or torch file) or
+    `model` preset with random init (for smoke runs)."""
+    from clip_event_tpu.config import model_config
+    from clip_event_tpu.engine.checkpoint import (
+        import_initial_checkpoint,
+        restore_checkpoint,
+    )
+
+    ckpt = cfg.get("ckpt")
+    if ckpt:
+        if os.path.isdir(ckpt):
+            params, _opt, _meta = restore_checkpoint(ckpt)
+            return params, model_config(cfg)
+        return import_initial_checkpoint(ckpt)
+    import jax
+
+    logging.warning("no `ckpt` in config — evaluating a randomly initialized model")
+    from clip_event_tpu.models import init_params
+
+    mcfg = model_config(cfg)
+    return init_params(jax.random.PRNGKey(cfg.get("seed", 0)), mcfg), mcfg
+
+
+def run(description: str, evaluate) -> None:
+    """Parse --cfg, build model, call `evaluate(cfg, params, mcfg)`,
+    print the metrics JSON."""
+    from clip_event_tpu.platform import ensure_backend
+
+    ensure_backend()
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser(description).parse_args()
+    with open(args.cfg) as fh:
+        cfg = json.load(fh)
+    params, mcfg = load_model_from_cfg(cfg)
+    metrics = evaluate(cfg, params, mcfg)
+    print(json.dumps(metrics, indent=2))
+    out = cfg.get("output_json")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(metrics, fh, indent=2)

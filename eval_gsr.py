@@ -1,0 +1,31 @@
+"""Zero-shot GSR/SWiG eval: verb classification + argument grounding
+(documented entry, README.md:216-220).
+
+Config keys: anno_json, image_dir, ontology_json, ckpt, [prompt, model,
+batch_size, max_roles, ground_topk, output_json].
+"""
+
+from clip_event_tpu.evals.cli import run
+
+
+def evaluate(cfg, params, mcfg):
+    from clip_event_tpu.data.sr import GSRDataset
+    from clip_event_tpu.evals.gsr import evaluate_gsr
+
+    dataset = GSRDataset(
+        anno_json=cfg["anno_json"],
+        image_dir=cfg["image_dir"],
+        ontology_json=cfg["ontology_json"],
+        prompt=cfg.get("prompt", "name"),
+        max_roles=cfg.get("max_roles", 6),
+        image_size=mcfg.image_resolution,
+    )
+    return evaluate_gsr(
+        params, mcfg, dataset,
+        batch_size=cfg.get("batch_size", 32),
+        ground_topk=cfg.get("ground_topk", 4),
+    )
+
+
+if __name__ == "__main__":
+    run("Zero-shot GSR/SWiG evaluation", evaluate)

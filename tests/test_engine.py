@@ -1,0 +1,190 @@
+"""Config validation, checkpoint round-trips, and the full train.py CLI
+end-to-end on the synthetic VOA fixture."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from clip_event_tpu.config import ConfigError, load_config, model_config, validate_config
+from tests.fixtures import make_voa_fixture
+
+jax = pytest.importorskip("jax")
+
+
+def test_config_defaults_and_required():
+    cfg = validate_config(
+        {"task": "t", "constrastive_loss": "ce", "batch_size": 2, "lr": 1e-6,
+         "optimizer": "adam", "max_epoch": 1}
+    )
+    assert cfg["constrastive_overbatch"] is True
+    assert cfg["lr_scheduler"] == "none"
+    assert cfg["grad_clip_norm"] == 1.0
+    with pytest.raises(ConfigError):
+        validate_config({"task": "t"})
+
+
+def test_config_cross_field_constraints():
+    base = {"task": "t", "batch_size": 2, "lr": 1e-6, "optimizer": "adam", "max_epoch": 1}
+    with pytest.raises(ConfigError):
+        validate_config({**base, "constrastive_loss": "bce", "constrastive_overbatch": True})
+    with pytest.raises(ConfigError):
+        validate_config({**base, "constrastive_loss": "kl", "constrastive_overbatch": False})
+    with pytest.raises(ConfigError):
+        validate_config({**base, "constrastive_loss": "ce", "alignment": True})
+    with pytest.raises(ConfigError):
+        validate_config({**base, "constrastive_loss": "nope"})
+
+
+def test_model_config_presets_and_dict():
+    from clip_event_tpu.models import VIT_B32
+
+    assert model_config({"model": "ViT-B/32"}) == VIT_B32
+    custom = model_config(
+        {"model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        }}
+    )
+    assert custom.grid_size == 2
+    rn = model_config({"model": {
+        "embed_dim": 32, "image_resolution": 32, "vision_layers": [1, 1, 1, 1],
+        "vision_width": 16, "vision_patch_size": None, "context_length": 77,
+        "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+        "transformer_layers": 2,
+    }})
+    assert not rn.is_vit
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from clip_event_tpu.engine.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.models import init_params
+    from tests.test_model_parity import TINY_VIT
+
+    params = init_params(jax.random.PRNGKey(0), TINY_VIT)
+    opt = build_optimizer("adam", build_schedule("none", 1e-4, 2))
+    opt_state = opt.init(params)
+
+    path = save_checkpoint(str(tmp_path), "demo", 3, params, opt_state, perf=0.5)
+    assert path is not None
+    assert latest_checkpoint(str(tmp_path), "demo") == path
+
+    params2, opt2, meta = restore_checkpoint(path)
+    assert meta["epoch"] == 3 and meta["perf"] == 0.5
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(jax.tree.leaves(opt_state)) == len(jax.tree.leaves(opt2))
+
+
+def test_torch_checkpoint_export_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    from clip_event_tpu.engine.checkpoint import (
+        export_torch_checkpoint,
+        import_initial_checkpoint,
+    )
+    from clip_event_tpu.models import init_params
+    from tests.test_model_parity import TINY_VIT
+
+    params = init_params(jax.random.PRNGKey(1), TINY_VIT)
+    path = str(tmp_path / "ckpt.pth")
+    export_torch_checkpoint(path, params, TINY_VIT, epoch=2, task="demo")
+    params2, cfg2 = import_initial_checkpoint(path)
+    assert cfg2 == TINY_VIT
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    """Run `python train.py --cfg ...` for 1 epoch on the fixture corpus with
+    a tiny model; verify it logs, checkpoints, and the loss is finite."""
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "smoke",
+        "constrastive_loss": "ce",
+        "constrastive_overbatch": True,
+        "alignment": False,
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "load_object": False,
+        "load_ie": False,
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "is_train": True,
+        "begin_epoch": 0,
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "weight_decay": 0.0,
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    ckpts = os.listdir(tmp_path / "ckpt" / "smoke")
+    assert any(name.startswith("smoke_0") for name in ckpts)
+    # config snapshot saved beside tensorboard logs (train.py parity)
+    assert (tmp_path / "logs" / "smoke" / "tensorboard" / "config.json").exists()
+    assert (tmp_path / "logs" / "smoke" / "tensorboard" / "scalars.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_eval_cli_smoke(tmp_path):
+    """eval_m2e2.py runs end-to-end from the CLI with a random tiny model."""
+    from tests.fixtures import make_m2e2_fixture
+
+    paths = make_m2e2_fixture(str(tmp_path))
+    cfg = {
+        "image_anno": paths["anno_json"],
+        "image_dir": paths["image_dir"],
+        "ie_ontology_json": paths["ontology_json"],
+        "batch_size": 4,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+        "output_json": str(tmp_path / "m2e2_metrics.json"),
+    }
+    cfg_path = tmp_path / "eval_cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "eval_m2e2.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = json.load(open(cfg["output_json"]))
+    assert "accuracy" in metrics and metrics["num_images"] == 8

@@ -1,0 +1,204 @@
+"""CLIP-Event TPU training entry point (reference `train.py`).
+
+Usage (same contract as the reference, README.md:204-209):
+    python train.py --cfg config.json
+
+Multi-host TPU: launch once per host; `jax.distributed` handles rendezvous
+(no torch.distributed.launch / MPI adapter needed — pod runtimes export the
+coordinator env).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import pprint
+import sys
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train CLIP-Event (TPU)")
+    parser.add_argument("--cfg", type=str, required=True, help="config JSON path")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace of epoch 0 here")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from clip_event_tpu.config import load_config, model_config
+    from clip_event_tpu.parallel.mesh import initialize_distributed
+    from clip_event_tpu.platform import ensure_backend
+
+    ensure_backend()
+
+    cfg = load_config(args.cfg)
+    initialize_distributed()
+
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.common import DataLoader
+    from clip_event_tpu.data.voa import VOADescriptionDataset
+    from clip_event_tpu.engine.checkpoint import (
+        import_initial_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from clip_event_tpu.engine.metrics import MetricLogger, ScalarWriter, create_logger
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_train_step, TrainState
+    from clip_event_tpu.models import init_params
+    from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
+
+    task = cfg["task"]
+    tb_log_dir = os.path.join(cfg["tb_log_dir"], task, "tensorboard")
+    log_dir = os.path.join(cfg["tb_log_dir"], task, "log")
+    ckpt_dir = os.path.join(cfg["ckpt_dir"])
+    for d in (tb_log_dir, log_dir, os.path.join(ckpt_dir, task)):
+        os.makedirs(d, exist_ok=True)
+    create_logger(task, log_dir, cfg["log_level"])
+
+    if jax.process_index() == 0:
+        log.info("config:\n%s", pprint.pformat(cfg))
+        log.info("devices: %s (%d processes)", jax.devices(), jax.process_count())
+        with open(os.path.join(tb_log_dir, "config.json"), "w") as fh:
+            json.dump(cfg, fh, indent=2)
+    writer = ScalarWriter(tb_log_dir) if jax.process_index() == 0 else None
+
+    # ---- model / resume
+    mcfg = model_config(cfg)
+    best_perf, begin_epoch = 0.0, cfg["begin_epoch"]
+    resume_opt_state = None
+    if cfg["jit"]:
+        # bootstrap from an OpenAI JIT archive / torch checkpoint
+        params, inferred = import_initial_checkpoint(cfg["begin_ckpt"])
+        mcfg = inferred
+        log.info("=> imported torch checkpoint %s (%s)", cfg["begin_ckpt"], mcfg)
+    elif cfg["begin_ckpt"] and os.path.exists(str(cfg["begin_ckpt"])):
+        params, resume_opt_state, meta = restore_checkpoint(cfg["begin_ckpt"])
+        best_perf = meta.get("perf", 0.0)
+        begin_epoch = int(meta.get("epoch", begin_epoch)) + (1 if cfg["is_train"] else 0)
+        log.info("=> resumed %s (epoch %s, perf %s)", cfg["begin_ckpt"], begin_epoch, best_perf)
+    elif cfg["begin_ckpt"]:
+        log.error("=> cannot find checkpoint: %s", cfg["begin_ckpt"])
+        sys.exit(1)
+    else:
+        params = init_params(jax.random.PRNGKey(cfg["seed"]), mcfg)
+        log.info("=> random init (%s)", mcfg)
+
+    # ---- data
+    dataset = VOADescriptionDataset(
+        posneg_descriptions_json=cfg["posneg_descriptions_json"],
+        image_caption_jsons=cfg["image_caption_json"],
+        image_dirs=cfg["image_dir"],
+        load_object=cfg["load_object"],
+        object_pickles=cfg["object_pickle"],
+        object_ontology_file=cfg["object_ontology_file"],
+        object_detection_threshold=cfg["object_detection_threshold"],
+        object_topk=cfg["object_topk"],
+        max_objects=cfg["max_objects"],
+        load_ie=cfg["load_ie"],
+        input_entities=cfg["input_entities"],
+        input_events=cfg["input_events"],
+        max_entities=cfg["max_entities"],
+        max_events=cfg["max_events"],
+        contrastive_loss=cfg["constrastive_loss"],
+        overbatch=cfg["constrastive_overbatch"],
+        image_size=mcfg.image_resolution,
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=cfg["batch_size"],
+        shuffle=cfg["is_train"],
+        seed=cfg["seed"],
+        drop_last=cfg["is_train"],
+        num_workers=cfg["num_workers"],
+        prefetch=cfg["prefetch"],
+        rank=jax.process_index(),
+        world_size=jax.process_count(),
+    )
+    steps_per_epoch = max(len(loader), 1)
+
+    # ---- optimizer / schedule / step
+    schedule = build_schedule(
+        cfg["lr_scheduler"],
+        cfg["lr"],
+        cfg["max_epoch"],
+        begin_epoch=begin_epoch,
+        steps_per_epoch=1 if cfg["steps_per_epoch_schedule"] else steps_per_epoch,
+        lr_steps=cfg["lr_steps"],
+        lr_gamma=cfg["lr_gamma"],
+        warmup_epochs=cfg["warmup_epoch"],
+    )
+    optimizer = build_optimizer(
+        cfg["optimizer"], schedule,
+        weight_decay=cfg["weight_decay"], momentum=cfg["momentum"],
+        grad_clip_norm=cfg["grad_clip_norm"],
+    )
+    compute_dtype = jnp.bfloat16 if cfg["compute_dtype"] == "bfloat16" else jnp.float32
+    train_step = make_train_step(
+        mcfg, optimizer,
+        loss_type=cfg["constrastive_loss"],
+        overbatch=cfg["constrastive_overbatch"],
+        alignment=cfg["alignment"],
+        use_pallas_ot=cfg["use_pallas_ot"],
+        compute_dtype=compute_dtype,
+        remat=cfg["remat"],
+    )
+
+    mesh = make_mesh()
+    state = create_train_state(replicate(params, mesh), optimizer)
+    state = state._replace(opt_state=replicate(state.opt_state, mesh))
+    if resume_opt_state is not None:
+        state = state._replace(opt_state=replicate(resume_opt_state, mesh))
+    del params
+
+    # ---- epoch loop
+    global_step = 0
+    for epoch in range(begin_epoch, cfg["max_epoch"]):
+        log.info("=> Epoch[%d]: train start", epoch)
+        loader.set_epoch(epoch)
+        metric_logger = MetricLogger()
+        start = time.time()
+        profiling = args.profile_dir and epoch == begin_epoch and jax.process_index() == 0
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
+        for batch, _meta in metric_logger.log_every(
+            loader, cfg["print_freq"], header=f"Epoch: [{epoch}]"
+        ):
+            state, metrics = train_step(state, shard_batch(batch, mesh))
+            if not bool(metrics["finite"]):
+                log.error("Loss is not finite, stopping training")
+                log.error({k: float(v) for k, v in metrics.items()})
+                sys.exit(1)
+            scalars = {
+                k: float(v) for k, v in metrics.items() if k != "finite"
+            }
+            scalars["lr"] = float(schedule(global_step if not cfg["steps_per_epoch_schedule"] else global_step))
+            metric_logger.update(**scalars)
+            global_step += 1
+        if profiling:
+            jax.profiler.stop_trace()
+        log.info("=> Epoch[%d]: train end, duration: %.2fs", epoch, time.time() - start)
+
+        if writer is not None:
+            writer.add_scalar("train_loss", metric_logger.loss.global_avg, epoch)
+        save_checkpoint(
+            ckpt_dir, task, epoch, state.params, state.opt_state, best_perf
+        )
+
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()
