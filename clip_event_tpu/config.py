@@ -77,6 +77,8 @@ _DEFAULTS: Dict[str, Any] = {
     "max_objects": None,
     "max_entities": 16,
     "max_events": 8,
+    "max_bboxes": 8,
+    "multiattention_pooling": "mean",
     "steps_per_epoch_schedule": True,
 }
 
@@ -117,6 +119,24 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
             )
     if out["load_object"] and not out["object_ontology_file"]:
         raise ConfigError("load_object=true requires object_ontology_file")
+
+    # multiattention: reference config uses a bool; we also accept the
+    # contrast-mode strings. true → 'desc'.
+    ma = out["multiattention"]
+    if ma is True:
+        out["multiattention"] = "desc"
+    elif ma in (False, None):
+        out["multiattention"] = None
+    elif ma not in ("desc", "desc_type", "desc_type_text"):
+        raise ConfigError(
+            "multiattention must be bool or one of desc/desc_type/desc_type_text"
+        )
+    if out["multiattention"] and not (out["load_sr"] or out["load_object"]):
+        raise ConfigError(
+            "multiattention needs a bbox channel: set load_sr=true or load_object=true"
+        )
+    if out["multiattention_pooling"] not in ("mean", "attention"):
+        raise ConfigError("multiattention_pooling must be 'mean' or 'attention'")
     return out
 
 

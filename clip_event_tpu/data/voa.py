@@ -129,6 +129,11 @@ class VOADescriptionDataset(ExampleDataset):
         input_events: Optional[Sequence[str]] = None,
         max_entities: int = 16,
         max_events: int = 8,
+        # SR/bbox channel for the local-attention loss (the reference's
+        # `load_sr` hook, never implemented there): normalized detection
+        # boxes + label-based role descriptions, padded to max_bboxes
+        load_sr: bool = False,
+        max_bboxes: int = 8,
         # loss layout
         contrastive_loss: str = "ce",
         overbatch: bool = True,
@@ -137,6 +142,8 @@ class VOADescriptionDataset(ExampleDataset):
         self.image_size = image_size
         self.contrastive_loss = contrastive_loss
         self.overbatch = overbatch
+        self.load_sr = load_sr
+        self.max_bboxes = max_bboxes
 
         with open(posneg_descriptions_json) as fh:
             descriptions = json.load(fh)
@@ -163,7 +170,7 @@ class VOADescriptionDataset(ExampleDataset):
         )
 
         self.load_object = load_object
-        if load_object:
+        if load_object or load_sr:
             self.object_threshold = object_detection_threshold
             self.object_topk = object_topk
             self.max_objects = max_objects or (object_topk + 1)
@@ -208,6 +215,9 @@ class VOADescriptionDataset(ExampleDataset):
         else:
             tensors["image"] = load_image_file(path, self.image_size)
 
+        if self.load_sr:
+            tensors.update(self._sr_channel(path, image_id))
+
         if self.load_ie:
             ent_names = doc_entity_names(self.ie, image_id)[: self.max_entities]
             evt_names = doc_event_names(self.ie, image_id)[: self.max_events]
@@ -227,6 +237,46 @@ class VOADescriptionDataset(ExampleDataset):
             meta["event_names"] = evt_names
 
         return tensors, meta
+
+    def _sr_channel(self, path: str, image_id: str) -> dict:
+        """Normalized detection boxes + label texts for local attention."""
+        from operator import itemgetter
+
+        from clip_event_tpu.ops.bbox import normalize_bbox
+
+        R = self.max_bboxes
+        bboxes = np.zeros((R, 4), np.float32)
+        mask = np.zeros(R, np.int32)
+        desc_tok = np.zeros((R, CONTEXT_LENGTH), np.int32)
+        label_tok = np.zeros((R, CONTEXT_LENGTH), np.int32)
+
+        dets = [
+            d for d in sorted(
+                self.object_results.get(image_id, []), key=itemgetter("score"),
+                reverse=True,
+            )
+            if d["label"] in self.object_labels and d["score"] >= self.object_threshold
+        ][:R]
+        if dets:
+            if "bbox_normalized" in dets[0]:
+                boxes = [list(d["bbox_normalized"]) for d in dets]
+            else:
+                from PIL import Image
+
+                with Image.open(path) as img:
+                    width, height = img.size
+                boxes = [list(normalize_bbox(d["bbox"], width, height)) for d in dets]
+            labels = [self.object_labels[d["label"]] for d in dets]
+            bboxes[: len(dets)] = np.asarray(boxes, np.float32)
+            mask[: len(dets)] = 1
+            desc_tok[: len(dets)] = tokenize([f"An image of {l.lower()}." for l in labels])
+            label_tok[: len(dets)] = tokenize([l.lower() for l in labels])
+        return {
+            "bbox": bboxes,
+            "bbox_mask": mask,
+            "bbox_desc_text": desc_tok,
+            "bbox_label_text": label_tok,
+        }
 
     def batch_extras(self, batch_size: int):
         layout = build_label_layout(

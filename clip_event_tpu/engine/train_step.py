@@ -46,6 +46,8 @@ def loss_fn(
     use_pallas_ot: bool,
     compute_dtype,
     remat: bool = False,
+    multiattention: Optional[str] = None,
+    multiattention_pooling: str = "mean",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     logits_per_image, logits_per_text = clip_model.forward(
         params,
@@ -76,6 +78,24 @@ def loss_fn(
             batch["object_mask"],
             use_pallas=use_pallas_ot,
         )
+    if multiattention:
+        from clip_event_tpu.models.local_attention import local_attention_loss
+
+        loss_dict.update(
+            local_attention_loss(
+                params,
+                cfg,
+                batch["image"],
+                batch["bbox"],
+                batch["bbox_mask"],
+                batch["bbox_desc_text"],
+                label_tokens=batch.get("bbox_label_text"),
+                train_arg=multiattention,
+                pooling=multiattention_pooling,
+                compute_dtype=compute_dtype,
+                remat=remat,
+            )
+        )
     total = sum(loss_dict.values())
     return total, loss_dict
 
@@ -90,13 +110,16 @@ def make_train_step(
     compute_dtype=jnp.float32,
     remat: bool = True,
     donate: bool = True,
+    multiattention: Optional[str] = None,
+    multiattention_pooling: str = "mean",
 ):
     """Returns jitted `train_step(state, batch) -> (state, metrics)`."""
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, cfg, loss_type, overbatch, alignment,
-            use_pallas_ot, compute_dtype, remat,
+            use_pallas_ot, compute_dtype, remat, multiattention,
+            multiattention_pooling,
         )
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

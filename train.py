@@ -111,6 +111,8 @@ def main():
         input_events=cfg["input_events"],
         max_entities=cfg["max_entities"],
         max_events=cfg["max_events"],
+        load_sr=cfg["load_sr"],
+        max_bboxes=cfg["max_bboxes"],
         contrastive_loss=cfg["constrastive_loss"],
         overbatch=cfg["constrastive_overbatch"],
         image_size=mcfg.image_resolution,
@@ -153,6 +155,8 @@ def main():
         use_pallas_ot=cfg["use_pallas_ot"],
         compute_dtype=compute_dtype,
         remat=cfg["remat"],
+        multiattention=cfg["multiattention"],
+        multiattention_pooling=cfg["multiattention_pooling"],
     )
 
     mesh = make_mesh()
