@@ -26,7 +26,21 @@ from clip_event_tpu.data.transform import preprocess_image
 
 
 def load_image_file(path: str, size: int = 224) -> np.ndarray:
-    """Decode + CLIP-preprocess one image file → float32 [size, size, 3]."""
+    """Decode + CLIP-preprocess one image file → float32 [size, size, 3].
+
+    Uses the native C++ path (libjpeg + fixed-point bicubic, GIL-free) when
+    built; falls back to PIL + the pure-Python bit-exact transform.
+    Disable with CLIP_EVENT_NATIVE=0.
+    """
+    if os.environ.get("CLIP_EVENT_NATIVE", "1") != "0" and path.lower().endswith(
+        (".jpg", ".jpeg")
+    ):
+        from clip_event_tpu.data import native
+
+        out = native.preprocess_jpeg_file(path, size)
+        if out is not None:
+            return out
+
     from PIL import Image, ImageFile
 
     ImageFile.LOAD_TRUNCATED_IMAGES = True
