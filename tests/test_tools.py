@@ -1,0 +1,100 @@
+"""Comm helpers, cluster detection, repair tool, visualization."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from clip_event_tpu.parallel.cluster import detect_cluster  # noqa: E402
+from clip_event_tpu.parallel.collectives import comm, gather_features, reduce_dict  # noqa: E402
+from tests.fixtures import make_voa_fixture  # noqa: E402
+
+
+def test_comm_single_process():
+    assert comm.world_size == 1
+    assert comm.rank == 0
+    assert comm.is_main_process
+    comm.synchronize()  # no-op, must not hang
+    assert reduce_dict({"loss": 2.0}) == {"loss": 2.0}
+
+
+def test_cluster_detection(monkeypatch):
+    for var in ("OMPI_COMM_WORLD_SIZE", "SLURM_PROCID", "JAX_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    spec = detect_cluster()
+    assert spec.source == "local" and not spec.is_distributed
+
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "4")
+    monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "2")
+    monkeypatch.setenv("MASTER_ADDR", "10.0.0.1")
+    spec = detect_cluster()
+    assert spec.source == "openmpi"
+    assert spec.coordinator_address == "10.0.0.1:9010"
+    assert spec.num_processes == 4 and spec.process_id == 2
+
+    monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+    monkeypatch.delenv("OMPI_COMM_WORLD_RANK")
+    monkeypatch.setenv("SLURM_PROCID", "1")
+    monkeypatch.setenv("SLURM_NTASKS", "8")
+    spec = detect_cluster()
+    assert spec.source == "slurm" and spec.num_processes == 8
+
+
+def test_gather_features_grad_restores_local_shard():
+    """all_gather(tiled) inside shard_map: grads flow only to local rows —
+    the semantics of the reference gather_tensors (utils.py:192-206)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
+        check_rep=False,
+    )
+    def loss(local):
+        full = gather_features(local)  # [8, 3] on every shard
+        return jax.lax.psum((full**2).sum(), "dp") / 4.0
+
+    g = jax.grad(lambda v: loss(v))(x)
+    np.testing.assert_allclose(np.asarray(g), 2.0 * x, rtol=1e-6)
+
+
+def test_repair_finds_missing(tmp_path):
+    from clip_event_tpu.data.repair import find_missing_images
+
+    voa = make_voa_fixture(str(tmp_path))
+    missing = find_missing_images([voa["mapping_json"]], [voa["image_dir"]])
+    assert missing == []
+    # remove one image → it is reported
+    victim = os.listdir(voa["image_dir"])[0]
+    os.remove(os.path.join(voa["image_dir"], victim))
+    missing = find_missing_images([voa["mapping_json"]], [voa["image_dir"]])
+    assert len(missing) == 1
+    assert missing[0]["path"].endswith(victim)
+
+
+def test_visualization_renders(tmp_path):
+    from clip_event_tpu.tools.visualization import render_ie_pages
+
+    voa = make_voa_fixture(str(tmp_path))
+    out_dir = str(tmp_path / "html")
+    n = render_ie_pages(
+        [voa["entity_cs"]], [voa["event_cs"]], out_dir,
+        captions={"VOA_EN_NW_2017_00_0": "A caption."},
+        image_urls={"VOA_EN_NW_2017_00_0": ["http://example.com/x.jpg"]},
+        page_limit=3,
+    )
+    assert n == 6
+    pages = sorted(os.listdir(out_dir))
+    assert pages == ["voa_events_0.html", "voa_events_1.html"]
+    content = open(os.path.join(out_dir, "voa_events_0.html")).read()
+    assert "Conflict.Attack" in content
+    assert "[Argument] Attacker=" in content
+    assert content.startswith("<!DOCTYPE html>")
