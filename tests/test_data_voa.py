@@ -144,3 +144,16 @@ def test_end_to_end_train_step_on_fixture(voa):
         assert bool(metrics["finite"])
         assert "loss_ot" in metrics
         break
+
+
+def test_sr_bbox_channel(voa):
+    ds = _full_dataset(voa, load_object=False, load_ie=False, load_sr=True, max_bboxes=4)
+    tensors, meta = ds[0]
+    assert tensors["bbox"].shape == (4, 4)
+    assert tensors["bbox_desc_text"].shape[0] == 4
+    # two detections pass the label+score filters in the fixture
+    np.testing.assert_array_equal(tensors["bbox_mask"], [1, 1, 0, 0])
+    # boxes normalized into [0, 1]
+    valid = tensors["bbox"][tensors["bbox_mask"] == 1]
+    assert (valid >= 0).all() and (valid <= 1).all()
+    assert (valid[:, 2:] > valid[:, :2]).all()

@@ -188,3 +188,20 @@ def test_eval_cli_smoke(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     metrics = json.load(open(cfg["output_json"]))
     assert "accuracy" in metrics and metrics["num_images"] == 8
+
+
+def test_multiattention_config_validation():
+    base = {"task": "t", "constrastive_loss": "ce", "batch_size": 2, "lr": 1e-6,
+            "optimizer": "adam", "max_epoch": 1}
+    from clip_event_tpu.config import ConfigError, validate_config
+
+    cfg = validate_config({**base, "multiattention": True, "load_sr": True})
+    assert cfg["multiattention"] == "desc"
+    cfg = validate_config({**base, "multiattention": False})
+    assert cfg["multiattention"] is None
+    cfg = validate_config({**base, "multiattention": "desc_type", "load_sr": True})
+    assert cfg["multiattention"] == "desc_type"
+    with pytest.raises(ConfigError):
+        validate_config({**base, "multiattention": "bogus", "load_sr": True})
+    with pytest.raises(ConfigError):
+        validate_config({**base, "multiattention": True})  # no bbox channel
