@@ -1,0 +1,88 @@
+"""Tensor-parallel parameter sharding over a (dp, tp) mesh.
+
+Megatron-style column/row partitioning of every transformer stack, expressed
+purely as GSPMD sharding annotations — XLA inserts the reduce-scatter /
+all-gather collectives over ICI; the model code doesn't change:
+
+  qkv_w  [L, W, 3W]  → P(None, None, 'tp')   (column parallel)
+  qkv_b  [L, 3W]     → P(None, 'tp')
+  out_w  [L, W, W]   → P(None, 'tp', None)   (row parallel)
+  fc_w   [L, W, 4W]  → P(None, None, 'tp')
+  fc_b   [L, 4W]     → P(None, 'tp')
+  proj_w [L, 4W, W]  → P(None, 'tp', None)
+  token_embedding [V, W] → P('tp', None)     (vocab parallel)
+
+Everything else (LayerNorms, positional embeddings, projections, the whole
+ResNet tower) replicates. This is the stretch parallelism for ViT-L/14+
+(SURVEY §2.7); batches stay sharded over 'dp' only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clip_event_tpu.parallel.mesh import DATA_AXIS
+
+TENSOR_AXIS = "tp"
+
+# leaf-name → PartitionSpec inside any stacked transformer subtree
+_TRANSFORMER_RULES = {
+    "qkv_w": P(None, None, TENSOR_AXIS),
+    "qkv_b": P(None, TENSOR_AXIS),
+    "out_w": P(None, TENSOR_AXIS, None),
+    "out_b": P(),
+    "fc_w": P(None, None, TENSOR_AXIS),
+    "fc_b": P(None, TENSOR_AXIS),
+    "proj_w": P(None, TENSOR_AXIS, None),
+    "proj_b": P(),
+}
+
+
+def make_mesh_2d(dp: Optional[int] = None, tp: int = 1) -> Mesh:
+    """(dp × tp) mesh; dp defaults to n_devices // tp."""
+    import numpy as np
+
+    devices = jax.devices()
+    if dp is None:
+        dp = len(devices) // tp
+    devices = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(devices, (DATA_AXIS, TENSOR_AXIS))
+
+
+def _spec_for_path(path) -> P:
+    keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+    in_transformer = any(k in ("transformer", "text_transformer") for k in keys)
+    leaf = keys[-1]
+    if in_transformer and leaf in _TRANSFORMER_RULES:
+        return _TRANSFORMER_RULES[leaf]
+    if leaf == "token_embedding":
+        return P(TENSOR_AXIS, None)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching `params` (tp rules when the mesh has
+    a 'tp' axis of size > 1, otherwise fully replicated)."""
+    has_tp = TENSOR_AXIS in mesh.axis_names and mesh.shape[TENSOR_AXIS] > 1
+
+    def one(path, leaf):
+        spec = _spec_for_path(path) if has_tp else P()
+        # drop annotations that don't divide the axis (e.g. tiny test configs)
+        if has_tp and spec != P():
+            shape = getattr(leaf, "shape", None)
+            tp = mesh.shape[TENSOR_AXIS]
+            for dim, name in enumerate(spec):
+                if name == TENSOR_AXIS and (shape is None or shape[dim] % tp != 0):
+                    spec = P()
+                    break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the params with tensor-parallel layout."""
+    return jax.device_put(params, param_shardings(params, mesh))
