@@ -155,3 +155,15 @@ def test_text_dataset():
     loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1)
     tensors, meta = next(iter(loader))
     assert tensors["text"].shape == (2, 77)
+
+
+def test_matching_eval(tmp_path, params):
+    from clip_event_tpu.data.voa import VOACaptionDataset
+    from clip_event_tpu.evals.matching import evaluate_matching
+
+    voa = fixtures.make_voa_fixture(str(tmp_path))
+    ds = VOACaptionDataset([voa["mapping_json"]], [voa["image_dir"]], image_size=32)
+    m = evaluate_matching(params, TINY_EVAL, ds, batch_size=4)
+    assert m["num_pairs"] == 6
+    assert 0.0 <= m["i2t_top1"] <= m["i2t_top5"] <= 1.0
+    assert 0.0 <= m["t2i_top1"] <= 1.0
