@@ -205,3 +205,26 @@ def test_multiattention_config_validation():
         validate_config({**base, "multiattention": "bogus", "load_sr": True})
     with pytest.raises(ConfigError):
         validate_config({**base, "multiattention": True})  # no bbox channel
+
+
+def test_zoo_facade(tmp_path):
+    """Zoo facade: local-path load + cache verification logic (no network)."""
+    torch = pytest.importorskip("torch")
+    from clip_event_tpu import zoo
+    from clip_event_tpu.engine.checkpoint import export_torch_checkpoint
+    from clip_event_tpu.models import init_params
+    from tests.test_model_parity import TINY_VIT
+
+    assert "ViT-B/32" in zoo.available_models()
+    params = init_params(jax.random.PRNGKey(0), TINY_VIT)
+    path = str(tmp_path / "tiny.pth")
+    export_torch_checkpoint(path, params, TINY_VIT, epoch=0, task="t")
+    p2, cfg2, preprocess = zoo.load(path)
+    assert cfg2 == TINY_VIT
+    img = np.zeros((64, 48, 3), np.uint8)
+    out = preprocess(img)
+    assert out.shape == (TINY_VIT.image_resolution, TINY_VIT.image_resolution, 3)
+    with pytest.raises(RuntimeError):
+        zoo.load("not-a-model")
+    toks = zoo.tokenize("a photo of a cat")
+    assert toks.shape == (1, 77)
