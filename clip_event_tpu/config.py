@@ -72,6 +72,7 @@ _DEFAULTS: Dict[str, Any] = {
     "compute_dtype": "bfloat16",
     "remat": True,
     "use_pallas_ot": False,
+    "use_pallas_attention": False,
     "num_workers": 8,
     "prefetch": 2,
     "max_objects": None,

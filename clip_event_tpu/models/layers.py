@@ -44,6 +44,19 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> j
     return y
 
 
+# Attention implementation switch: "xla" (einsum, default) or "pallas"
+# (fused VMEM-resident kernel, ops.attention_pallas). Set BEFORE tracing the
+# train/eval step — jit caches the traced choice.
+_ATTENTION_IMPL = "xla"
+
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTENTION_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError("attention impl must be 'xla' or 'pallas'")
+    _ATTENTION_IMPL = impl
+
+
 def multi_head_attention(
     x: jnp.ndarray,
     params: dict,
@@ -66,11 +79,27 @@ def multi_head_attention(
 
     q, k, v = to_heads(q), to_heads(k), to_heads(v)
     scale = head_dim**-0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
-    if attn_bias is not None:
-        logits = logits + attn_bias.astype(logits.dtype)
-    weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32)
+
+    if _ATTENTION_IMPL == "pallas":
+        from clip_event_tpu.ops.attention_pallas import fused_attention
+
+        out = fused_attention(
+            q.reshape(B * num_heads, S, head_dim),
+            k.reshape(B * num_heads, S, head_dim),
+            v.reshape(B * num_heads, S, head_dim),
+            attn_bias,
+            scale,
+        ).reshape(B, num_heads, S, head_dim)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, W)
     return linear(out, params["out_w"], params["out_b"])
 

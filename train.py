@@ -147,6 +147,10 @@ def main():
         grad_clip_norm=cfg["grad_clip_norm"],
     )
     compute_dtype = jnp.bfloat16 if cfg["compute_dtype"] == "bfloat16" else jnp.float32
+    if cfg["use_pallas_attention"]:
+        from clip_event_tpu.models.layers import set_attention_impl
+
+        set_attention_impl("pallas")
     train_step = make_train_step(
         mcfg, optimizer,
         loss_type=cfg["constrastive_loss"],
