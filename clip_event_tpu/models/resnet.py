@@ -34,13 +34,34 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0) ->
     ).astype(x.dtype)
 
 
+# BN statistics mode: "frozen" (running stats — CLIP fine-tuning default) or
+# "batch" (statistics of the current global batch; under a dp-sharded pjit
+# the mean/var reductions are global, i.e. SyncBatchNorm semantics for free —
+# the reference needed torch SyncBatchNorm + NCCL, train.py:219-220).
+_BN_MODE = "frozen"
+
+
+def set_bn_mode(mode: str) -> None:
+    global _BN_MODE
+    if mode not in ("frozen", "batch"):
+        raise ValueError("bn mode must be 'frozen' or 'batch'")
+    _BN_MODE = mode
+
+
 def batch_norm(x: jnp.ndarray, params: dict, eps: float = 1e-5) -> jnp.ndarray:
-    """Inference-mode BN using stored running statistics."""
-    inv = jax.lax.rsqrt(params["var"].astype(jnp.float32) + eps)
+    """BN over NHWC channels; statistics per `_BN_MODE`."""
+    if _BN_MODE == "batch":
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=(0, 1, 2))
+        var = x32.var(axis=(0, 1, 2))
+    else:
+        mean = params["mean"].astype(jnp.float32)
+        var = params["var"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps)
     scale = (params["scale"].astype(jnp.float32) * inv).astype(x.dtype)
     offset = (
         params["bias"].astype(jnp.float32)
-        - params["mean"].astype(jnp.float32) * params["scale"].astype(jnp.float32) * inv
+        - mean * params["scale"].astype(jnp.float32) * inv
     ).astype(x.dtype)
     return x * scale + offset
 

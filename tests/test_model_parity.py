@@ -136,3 +136,24 @@ def test_grid_features_shape():
     images, _ = _rand_inputs(cfg)
     grid = encode_image(params, cfg, images, use_grid=True)
     assert grid.shape == (3, cfg.grid_size**2 + 1, cfg.embed_dim)
+
+
+def test_resnet_batch_bn_mode():
+    """Batch-stats BN runs and differs from frozen stats once stats diverge."""
+    from clip_event_tpu.models import resnet as R
+
+    cfg = TINY_RN
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    # make running stats wrong on purpose
+    params["visual"]["stem"]["bn1"]["mean"] = (
+        params["visual"]["stem"]["bn1"]["mean"] + 3.0
+    )
+    images, _ = _rand_inputs(cfg, batch=4)
+    frozen = np.asarray(encode_image(params, cfg, images))
+    R.set_bn_mode("batch")
+    try:
+        batch_mode = np.asarray(encode_image(params, cfg, images))
+    finally:
+        R.set_bn_mode("frozen")
+    assert np.isfinite(batch_mode).all()
+    assert np.abs(frozen - batch_mode).max() > 1e-3

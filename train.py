@@ -151,6 +151,11 @@ def main():
         from clip_event_tpu.models.layers import set_attention_impl
 
         set_attention_impl("pallas")
+    if cfg["sync_bn"] and not mcfg.is_vit:
+        # batch-stats BN; global under the dp mesh = SyncBN (train.py:219-220)
+        from clip_event_tpu.models.resnet import set_bn_mode
+
+        set_bn_mode("batch")
     train_step = make_train_step(
         mcfg, optimizer,
         loss_type=cfg["constrastive_loss"],
