@@ -92,6 +92,23 @@ def init_params(rng: jax.Array, cfg: CLIPConfig) -> dict:
     }
 
 
+def cast_params(params: dict, dtype=jnp.bfloat16) -> dict:
+    """Cast matmul weights to a low-precision dtype while keeping the
+    LayerNorm/BatchNorm parameters and logit_scale in float32 (reference
+    `convert_weights`, `model_clip.py:554-575`, with bf16 instead of fp16 —
+    the TPU-native low-precision format)."""
+
+    def cast(path, leaf):
+        keys = [getattr(k, "key", None) for k in path]
+        name = keys[-1] or ""
+        in_norm = any(isinstance(k, str) and (k.startswith("ln") or k.startswith("bn")) for k in keys)
+        if in_norm or name in ("logit_scale",) or "mean" in name or "var" in name:
+            return leaf
+        return leaf.astype(dtype) if hasattr(leaf, "astype") else leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def encode_image(
     params: dict,
     cfg: CLIPConfig,

@@ -167,3 +167,65 @@ def test_matching_eval(tmp_path, params):
     assert m["num_pairs"] == 6
     assert 0.0 <= m["i2t_top1"] <= m["i2t_top5"] <= 1.0
     assert 0.0 <= m["t2i_top1"] <= 1.0
+
+
+def test_gsr_object_channel(tmp_path):
+    import pickle
+
+    paths = fixtures.make_swig_fixture(str(tmp_path))
+    det = {
+        f"swig_{i:03d}.jpg": [
+            {"label": "/m/01g317", "bbox": [5, 5, 60, 90],
+             "bbox_normalized": [0.04, 0.05, 0.47, 0.94], "score": 0.9},
+            {"label": "/m/unknown", "bbox": [0, 0, 5, 5],
+             "bbox_normalized": [0, 0, 0.04, 0.05], "score": 0.99},
+        ]
+        for i in range(6)
+    }
+    det_path = tmp_path / "det.pkl"
+    pickle.dump(det, open(det_path, "wb"))
+    class_map = tmp_path / "classes.csv"
+    class_map.write_text("/m/01g317,Person,1\n/m/unknown,Thing,0\n")
+
+    ds = GSRDataset(
+        paths["anno_json"], paths["image_dir"], paths["ontology_json"],
+        prompt="short", load_object=True, object_detection=str(det_path),
+        object_class_map=str(class_map), image_size=32,
+    )
+    _, meta = ds[0]
+    assert meta["object_labels"] == ["Person"]  # unknown label filtered
+    assert len(meta["object_bboxes"]) == 1
+
+
+def test_imsitu_object_channel(tmp_path):
+    import pickle
+
+    paths = fixtures.make_swig_fixture(str(tmp_path))
+    det = {
+        f"swig_{i:03d}.jpg": [
+            {"label": "/m/01g317", "bbox": [5, 5, 60, 90], "score": 0.9},
+        ]
+        for i in range(6)
+    }
+    det_path = tmp_path / "det.pkl"
+    pickle.dump(det, open(det_path, "wb"))
+    class_map = tmp_path / "classes.csv"
+    class_map.write_text("/m/01g317,person,1\n")
+
+    ds = ImSituDataset(
+        image_dir=paths["image_dir"],
+        imsitu_ontology_file=paths["ontology_json"],
+        imsitu_annotation_file=paths["anno_json"],
+        verb_mapping_file=paths["mapping_tsv"],
+        max_args=4,
+        load_object=True,
+        object_ontology_file=str(class_map),
+        object_detection_pkl_file=str(det_path),
+        max_objects=3,
+        image_size=32,
+    )
+    tensors, meta = ds[0]
+    assert tensors["object_image"].shape == (3, 32, 32, 3)
+    np.testing.assert_array_equal(tensors["object_mask"], [1, 1, 0])
+    # slot 0 is the whole image, slot 1 the person crop mapped to noun vocab
+    assert int(tensors["object_label"][1]) == ds.vocab_noun.get("person")

@@ -157,3 +157,24 @@ def test_resnet_batch_bn_mode():
         R.set_bn_mode("frozen")
     assert np.isfinite(batch_mode).all()
     assert np.abs(frozen - batch_mode).max() > 1e-3
+
+
+def test_cast_params_bf16():
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models.clip import cast_params
+
+    params = init_params(jax.random.PRNGKey(5), TINY_VIT)
+    half = cast_params(params, jnp.bfloat16)
+    assert half["text_projection"].dtype == jnp.bfloat16
+    assert half["visual"]["patch_embed_w"].dtype == jnp.bfloat16
+    # norm islands + logit scale stay f32
+    assert half["ln_final"]["scale"].dtype == jnp.float32
+    assert half["visual"]["ln_pre"]["bias"].dtype == jnp.float32
+    assert half["logit_scale"].dtype == jnp.float32
+    # model still runs
+    images, tokens = _rand_inputs(TINY_VIT)
+    import jax.numpy as jnp2
+
+    out = encode_image(half, TINY_VIT, images, compute_dtype=jnp.bfloat16)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
