@@ -52,7 +52,13 @@ def evaluate_gsr(
     batch_size: int = 32,
     ground_topk: int = 4,
     iou_threshold: float = 0.5,
+    ground_via: str = "grid",
 ) -> dict:
+    """ground_via: 'grid' predicts a top-k patch-window box from the role→
+    grid-token heat map; 'objects' ranks the *detected object boxes* by the
+    similarity between the role description and each box's window-pooled
+    grid feature (requires `dataset.load_object`) — the reference's
+    detected-object channel realized as an eval."""
     loader = DataLoader(
         dataset, batch_size=min(batch_size, len(dataset)), shuffle=False,
         drop_last=False, num_workers=8,
@@ -77,6 +83,8 @@ def evaluate_gsr(
 
     # ---- argument grounding via grid-token similarity
     if cfg.is_vit:
+        if ground_via == "objects" and not dataset.load_object:
+            raise ValueError("ground_via='objects' needs dataset.load_object=True")
         grid = cfg.grid_size
         grid_fn = _grid_features_fn(cfg)
         hits, total = 0, 0
@@ -95,15 +103,48 @@ def evaluate_gsr(
                 if n == 0:
                     continue
                 role_feats = enc.texts(tensors["role_text"][idx][:n])  # [n, E]
-                heat = role_feats @ gfeat[i, 1:].T  # [n, G²]
-                for r in range(n):
-                    gold_box = tensors["role_bbox"][idx][r]
-                    if gold_box[0] < 0:
+
+                if ground_via == "objects":
+                    boxes = metas[idx].get("object_bboxes", [])
+                    if not boxes:
                         continue
-                    pred_box = patch_window_bbox(heat[r].reshape(grid, grid), grid, ground_topk)
-                    ok, _ = grounding_correct([gold_box], [pred_box], iou_threshold)
-                    hits += ok
-                    total += 1
+                    import jax.numpy as jnp
+
+                    from clip_event_tpu.models.clip import l2_normalize
+                    from clip_event_tpu.models.local_attention import pool_bbox_features
+
+                    box_arr = np.asarray(boxes, np.float32)[None]  # [1, K, 4]
+                    box_feats = np.asarray(
+                        l2_normalize(
+                            pool_bbox_features(
+                                jnp.asarray(gfeat[i : i + 1, 1:]),
+                                jnp.asarray(box_arr),
+                                jnp.ones((1, box_arr.shape[1]), jnp.int32),
+                                grid,
+                            ),
+                            eps=1e-8,
+                        )
+                    )[0]  # [K, E]
+                    scores = role_feats @ box_feats.T  # [n, K]
+                    for r in range(n):
+                        gold_box = tensors["role_bbox"][idx][r]
+                        if gold_box[0] < 0:
+                            continue
+                        pred_box = boxes[int(scores[r].argmax())]
+                        ok, _ = grounding_correct([gold_box], [pred_box], iou_threshold)
+                        hits += ok
+                        total += 1
+                else:
+                    heat = role_feats @ gfeat[i, 1:].T  # [n, G²]
+                    for r in range(n):
+                        gold_box = tensors["role_bbox"][idx][r]
+                        if gold_box[0] < 0:
+                            continue
+                        pred_box = patch_window_bbox(heat[r].reshape(grid, grid), grid, ground_topk)
+                        ok, _ = grounding_correct([gold_box], [pred_box], iou_threshold)
+                        hits += ok
+                        total += 1
         metrics["grounding_acc"] = hits / total if total else 0.0
         metrics["grounded_args"] = total
+        metrics["ground_via"] = ground_via
     return metrics

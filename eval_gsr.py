@@ -18,12 +18,18 @@ def evaluate(cfg, params, mcfg):
         ontology_json=cfg["ontology_json"],
         prompt=cfg.get("prompt", "name"),
         max_roles=cfg.get("max_roles", 6),
+        load_object=cfg.get("load_object", False),
+        object_detection=cfg.get("object_detection"),
+        object_class_map=cfg.get("object_class_map"),
+        object_threshold=cfg.get("object_threshold", 0.2),
+        object_topk=cfg.get("object_topk", 40),
         image_size=mcfg.image_resolution,
     )
     return evaluate_gsr(
         params, mcfg, dataset,
         batch_size=cfg.get("batch_size", 32),
         ground_topk=cfg.get("ground_topk", 4),
+        ground_via=cfg.get("ground_via", "grid"),
     )
 
 

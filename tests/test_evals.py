@@ -229,3 +229,31 @@ def test_imsitu_object_channel(tmp_path):
     np.testing.assert_array_equal(tensors["object_mask"], [1, 1, 0])
     # slot 0 is the whole image, slot 1 the person crop mapped to noun vocab
     assert int(tensors["object_label"][1]) == ds.vocab_noun.get("person")
+
+
+def test_gsr_eval_object_grounding(tmp_path, params):
+    import pickle
+
+    paths = fixtures.make_swig_fixture(str(tmp_path))
+    det = {
+        f"swig_{i:03d}.jpg": [
+            {"label": "/m/01g317", "bbox": [5, 5, 60, 90],
+             "bbox_normalized": [0.04, 0.05, 0.47, 0.94], "score": 0.9},
+            {"label": "/m/01g317", "bbox": [64, 5, 125, 90],
+             "bbox_normalized": [0.5, 0.05, 0.98, 0.94], "score": 0.8},
+        ]
+        for i in range(6)
+    }
+    det_path = tmp_path / "det.pkl"
+    pickle.dump(det, open(det_path, "wb"))
+    class_map = tmp_path / "classes.csv"
+    class_map.write_text("/m/01g317,Person,1\n")
+    ds = GSRDataset(
+        paths["anno_json"], paths["image_dir"], paths["ontology_json"],
+        prompt="name", load_object=True, object_detection=str(det_path),
+        object_class_map=str(class_map), image_size=32,
+    )
+    m = evaluate_gsr(params, TINY_EVAL, ds, batch_size=3, ground_via="objects")
+    assert m["ground_via"] == "objects"
+    assert m["grounded_args"] == 6
+    assert 0.0 <= m["grounding_acc"] <= 1.0
