@@ -100,3 +100,26 @@ def test_resize_matrix_matches_float_filter():
     diff = np.abs(float_out - exact)
     assert np.percentile(diff, 99) <= 1.0
     assert diff.max() <= 16.0
+
+
+def test_device_pipeline_matches_host():
+    jax = pytest.importorskip("jax")
+    from clip_event_tpu.data.device_pipeline import preprocess_on_device
+
+    imgs = np.stack([_rand_img(300, 400) for _ in range(3)])
+    got = np.asarray(preprocess_on_device(imgs, 224))
+    assert got.shape == (3, 224, 224, 3)
+    for i in range(3):
+        ref = preprocess_image(imgs[i], 224)
+        diff = np.abs(got[i] - ref)
+        # matches the host path up to PIL's intermediate uint8 rounding
+        assert np.percentile(diff, 99) <= 1.5 / 255 / 0.26 + 1e-3
+        assert diff.max() <= 20.0 / 255 / 0.26
+
+
+def test_device_pipeline_upscales_small_images():
+    jax = pytest.importorskip("jax")
+    from clip_event_tpu.data.device_pipeline import preprocess_on_device
+
+    out = preprocess_on_device(_rand_img(100, 150)[None], 224)
+    assert out.shape == (1, 224, 224, 3)
