@@ -81,6 +81,10 @@ _DEFAULTS: Dict[str, Any] = {
     "max_bboxes": 8,
     "multiattention_pooling": "mean",
     "steps_per_epoch_schedule": True,
+    # optional per-epoch zero-shot matching validation (tracks `perf`)
+    "validate_every": 0,
+    "val_image_caption_json": [],
+    "val_image_dir": [],
 }
 
 

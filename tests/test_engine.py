@@ -132,6 +132,9 @@ def test_train_cli_end_to_end(tmp_path):
         "compute_dtype": "float32",
         "remat": False,
         "num_workers": 2,
+        "validate_every": 1,
+        "val_image_caption_json": [voa["mapping_json"]],
+        "val_image_dir": [voa["image_dir"]],
         "model": {
             "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
             "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
@@ -155,6 +158,12 @@ def test_train_cli_end_to_end(tmp_path):
     # config snapshot saved beside tensorboard logs (train.py parity)
     assert (tmp_path / "logs" / "smoke" / "tensorboard" / "config.json").exists()
     assert (tmp_path / "logs" / "smoke" / "tensorboard" / "scalars.jsonl").exists()
+    # validation ran and recorded perf in the checkpoint metadata
+    scalars = [
+        json.loads(line)
+        for line in open(tmp_path / "logs" / "smoke" / "tensorboard" / "scalars.jsonl")
+    ]
+    assert any(s["tag"] == "val_i2t_top1" for s in scalars)
 
 
 @pytest.mark.slow

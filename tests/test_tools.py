@@ -98,3 +98,21 @@ def test_visualization_renders(tmp_path):
     assert "Conflict.Attack" in content
     assert "[Argument] Attacker=" in content
     assert content.startswith("<!DOCTYPE html>")
+
+
+def test_device_prefetch(tmp_path):
+    from clip_event_tpu.data.common import DataLoader
+    from clip_event_tpu.data.prefetch import device_prefetch
+    from clip_event_tpu.data.voa import VOACaptionDataset
+    from clip_event_tpu.parallel import make_mesh
+
+    voa = make_voa_fixture(str(tmp_path))
+    ds = VOACaptionDataset([voa["mapping_json"]], [voa["image_dir"]], image_size=32)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2, drop_last=False)
+    mesh = make_mesh(2)
+    batches = list(device_prefetch(loader, mesh, depth=2))
+    assert len(batches) == 3
+    tensors, meta = batches[0]
+    assert tensors["image"].shape == (2, 32, 32, 3)
+    assert hasattr(tensors["image"], "sharding")  # on device
+    assert len(meta) == 2

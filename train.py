@@ -47,6 +47,7 @@ def main():
     import jax.numpy as jnp
 
     from clip_event_tpu.data.common import DataLoader
+    from clip_event_tpu.data.prefetch import device_prefetch
     from clip_event_tpu.data.voa import VOADescriptionDataset
     from clip_event_tpu.engine.checkpoint import (
         import_initial_checkpoint,
@@ -186,9 +187,11 @@ def main():
         if profiling:
             jax.profiler.start_trace(args.profile_dir)
         for batch, _meta in metric_logger.log_every(
-            loader, cfg["print_freq"], header=f"Epoch: [{epoch}]"
+            device_prefetch(loader, mesh, depth=cfg["prefetch"]),
+            cfg["print_freq"],
+            header=f"Epoch: [{epoch}]",
         ):
-            state, metrics = train_step(state, shard_batch(batch, mesh))
+            state, metrics = train_step(state, batch)
             if not bool(metrics["finite"]):
                 log.error("Loss is not finite, stopping training")
                 log.error({k: float(v) for k, v in metrics.items()})
@@ -205,6 +208,29 @@ def main():
 
         if writer is not None:
             writer.add_scalar("train_loss", metric_logger.loss.global_avg, epoch)
+
+        # optional validation: zero-shot image-caption matching (tracks perf,
+        # realizing the reference's unimplemented "evaluate after every
+        # epoch" hook + its `perf` checkpoint field, train.py:244-248)
+        if (
+            cfg["validate_every"]
+            and (epoch + 1) % cfg["validate_every"] == 0
+            and cfg["val_image_caption_json"]
+        ):
+            from clip_event_tpu.data.voa import VOACaptionDataset
+            from clip_event_tpu.evals.matching import evaluate_matching
+
+            val_ds = VOACaptionDataset(
+                cfg["val_image_caption_json"], cfg["val_image_dir"],
+                image_size=mcfg.image_resolution,
+            )
+            val = evaluate_matching(state.params, mcfg, val_ds,
+                                    batch_size=cfg["batch_size"])
+            best_perf = max(best_perf, val["i2t_top1"])
+            log.info("=> Epoch[%d] validation: %s (best %.4f)", epoch, val, best_perf)
+            if writer is not None:
+                writer.add_scalar("val_i2t_top1", val["i2t_top1"], epoch)
+
         save_checkpoint(
             ckpt_dir, task, epoch, state.params, state.opt_state, best_perf
         )
