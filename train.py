@@ -186,22 +186,35 @@ def main():
         profiling = args.profile_dir and epoch == begin_epoch and jax.process_index() == 0
         if profiling:
             jax.profiler.start_trace(args.profile_dir)
+        # Metrics stay on-device between prints: materializing them every
+        # step would force a host sync per step (the reference's
+        # cuda.synchronize pattern, engine.py:99); here up to print_freq
+        # steps stay in flight.
+        pending = []
+
+        def drain():
+            nonlocal pending
+            for step_idx, m in pending:
+                if not bool(m["finite"]):
+                    log.error("Loss is not finite, stopping training")
+                    log.error({k: float(v) for k, v in m.items()})
+                    sys.exit(1)
+                scalars = {k: float(v) for k, v in m.items() if k != "finite"}
+                scalars["lr"] = float(schedule(step_idx))
+                metric_logger.update(**scalars)
+            pending = []
+
         for batch, _meta in metric_logger.log_every(
             device_prefetch(loader, mesh, depth=cfg["prefetch"]),
             cfg["print_freq"],
             header=f"Epoch: [{epoch}]",
         ):
             state, metrics = train_step(state, batch)
-            if not bool(metrics["finite"]):
-                log.error("Loss is not finite, stopping training")
-                log.error({k: float(v) for k, v in metrics.items()})
-                sys.exit(1)
-            scalars = {
-                k: float(v) for k, v in metrics.items() if k != "finite"
-            }
-            scalars["lr"] = float(schedule(global_step if not cfg["steps_per_epoch_schedule"] else global_step))
-            metric_logger.update(**scalars)
+            pending.append((global_step, metrics))
             global_step += 1
+            if len(pending) >= max(cfg["print_freq"], 1):
+                drain()
+        drain()
         if profiling:
             jax.profiler.stop_trace()
         log.info("=> Epoch[%d]: train end, duration: %.2fs", epoch, time.time() - start)
