@@ -23,15 +23,19 @@ from clip_event_tpu.models import layers as L
 
 
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int = 1, padding: int = 0) -> jnp.ndarray:
-    """NHWC conv; weight layout HWIO."""
+    """NHWC conv; weight layout HWIO.
+
+    No `preferred_element_type` here: with bf16 operands its transpose rule
+    feeds the f32 cotangent into a bf16-kernel conv and fails; the MXU
+    accumulates in f32 regardless, so bf16-in/bf16-out loses nothing.
+    """
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 # BN statistics mode: "frozen" (running stats — CLIP fine-tuning default) or
