@@ -81,6 +81,7 @@ _DEFAULTS: Dict[str, Any] = {
     "max_bboxes": 8,
     "multiattention_pooling": "mean",
     "steps_per_epoch_schedule": True,
+    "steps_per_dispatch": 1,
     # optional per-epoch zero-shot matching validation (tracks `perf`)
     "validate_every": 0,
     "val_image_caption_json": [],
@@ -142,6 +143,8 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         )
     if out["multiattention_pooling"] not in ("mean", "attention"):
         raise ConfigError("multiattention_pooling must be 'mean' or 'attention'")
+    if out["steps_per_dispatch"] > 1 and out["multiattention"]:
+        raise ConfigError("steps_per_dispatch>1 does not support multiattention yet")
     return out
 
 

@@ -167,6 +167,50 @@ def test_train_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_cli_multi_step_dispatch(tmp_path):
+    """steps_per_dispatch>1: K steps fused per device dispatch."""
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "fused",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "steps_per_dispatch": 3,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert any(
+        name.startswith("fused_0")
+        for name in os.listdir(tmp_path / "ckpt" / "fused")
+    )
+
+
+@pytest.mark.slow
 def test_eval_cli_smoke(tmp_path):
     """eval_m2e2.py runs end-to-end from the CLI with a random tiny model."""
     from tests.fixtures import make_m2e2_fixture

@@ -122,3 +122,47 @@ def test_nan_guard_freezes_update():
     state, metrics = step(state, batch)
     assert not bool(metrics["finite"])
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), old_leaf)
+
+
+def test_multi_step_stacked_batches():
+    """make_multi_step over a [K, ...] batch stack equals K sequential steps."""
+    from clip_event_tpu.engine.train_step import make_multi_step
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    batches = [_make_batch(cfg, seed=s) for s in (10, 11, 12)]
+
+    # sequential reference
+    step = make_train_step(cfg, opt, donate=False, remat=False)
+    state_seq = create_train_state(params, opt)
+    seq_losses = []
+    for b in batches:
+        state_seq, m = step(state_seq, b)
+        seq_losses.append(float(m["loss"]))
+
+    # fused: stack batches on the leading axis
+    stacked = {
+        k: np.stack([b[k] for b in batches]) for k in batches[0]
+    }
+    many, _ = make_multi_step(cfg, opt, 3, donate=False, remat=False)
+    state_fused = create_train_state(params, opt)
+    state_fused, losses = many(state_fused, stacked)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_seq.params), jax.tree.leaves(state_fused.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_multi_step_fixed_batch():
+    from clip_event_tpu.engine.train_step import make_multi_step
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    params = init_params(jax.random.PRNGKey(8), cfg)
+    batch = _make_batch(cfg, seed=13)
+    _, many_fixed = make_multi_step(cfg, opt, 4, donate=False, remat=False)
+    state = create_train_state(params, opt)
+    state, losses = many_fixed(state, batch)
+    losses = np.asarray(losses)
+    assert losses.shape == (4,)
+    assert losses[-1] < losses[0]  # it trains

@@ -56,7 +56,12 @@ def main():
     )
     from clip_event_tpu.engine.metrics import MetricLogger, ScalarWriter, create_logger
     from clip_event_tpu.engine.optim import build_optimizer, build_schedule
-    from clip_event_tpu.engine.train_step import create_train_state, make_train_step, TrainState
+    from clip_event_tpu.engine.train_step import (
+        TrainState,
+        create_train_state,
+        make_multi_step,
+        make_train_step,
+    )
     from clip_event_tpu.models import init_params
     from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
 
@@ -157,17 +162,33 @@ def main():
         from clip_event_tpu.models.resnet import set_bn_mode
 
         set_bn_mode("batch")
-    train_step = make_train_step(
-        mcfg, optimizer,
-        loss_type=cfg["constrastive_loss"],
-        overbatch=cfg["constrastive_overbatch"],
-        alignment=cfg["alignment"],
-        use_pallas_ot=cfg["use_pallas_ot"],
-        compute_dtype=compute_dtype,
-        remat=cfg["remat"],
-        multiattention=cfg["multiattention"],
-        multiattention_pooling=cfg["multiattention_pooling"],
-    )
+    steps_per_dispatch = max(int(cfg["steps_per_dispatch"]), 1)
+    if steps_per_dispatch > 1:
+        # K steps fused into one device dispatch (lax.scan over a stacked
+        # batch) — amortizes host dispatch latency for small per-step times
+        multi_step, _ = make_multi_step(
+            mcfg, optimizer, steps_per_dispatch,
+            loss_type=cfg["constrastive_loss"],
+            overbatch=cfg["constrastive_overbatch"],
+            alignment=cfg["alignment"],
+            use_pallas_ot=cfg["use_pallas_ot"],
+            compute_dtype=compute_dtype,
+            remat=cfg["remat"],
+        )
+        train_step = None
+    else:
+        multi_step = None
+        train_step = make_train_step(
+            mcfg, optimizer,
+            loss_type=cfg["constrastive_loss"],
+            overbatch=cfg["constrastive_overbatch"],
+            alignment=cfg["alignment"],
+            use_pallas_ot=cfg["use_pallas_ot"],
+            compute_dtype=compute_dtype,
+            remat=cfg["remat"],
+            multiattention=cfg["multiattention"],
+            multiattention_pooling=cfg["multiattention_pooling"],
+        )
 
     mesh = make_mesh()
     state = create_train_state(replicate(params, mesh), optimizer)
@@ -204,17 +225,40 @@ def main():
                 metric_logger.update(**scalars)
             pending = []
 
-        for batch, _meta in metric_logger.log_every(
-            device_prefetch(loader, mesh, depth=cfg["prefetch"]),
-            cfg["print_freq"],
-            header=f"Epoch: [{epoch}]",
-        ):
-            state, metrics = train_step(state, batch)
-            pending.append((global_step, metrics))
-            global_step += 1
-            if len(pending) >= max(cfg["print_freq"], 1):
-                drain()
-        drain()
+        if steps_per_dispatch > 1:
+            import jax.numpy as _jnp
+
+            buffer = []
+            for batch, _meta in metric_logger.log_every(
+                device_prefetch(loader, mesh, depth=cfg["prefetch"]),
+                cfg["print_freq"],
+                header=f"Epoch: [{epoch}]",
+            ):
+                buffer.append(batch)
+                if len(buffer) == steps_per_dispatch:
+                    stacked = {
+                        k: _jnp.stack([b[k] for b in buffer]) for k in buffer[0]
+                    }
+                    buffer = []
+                    state, losses = multi_step(state, stacked)
+                    for j, loss in enumerate(_jnp.ravel(losses)):
+                        pending.append((global_step, {"loss": loss, "finite": _jnp.isfinite(loss)}))
+                        global_step += 1
+                    if len(pending) >= max(cfg["print_freq"], 1):
+                        drain()
+            drain()
+        else:
+            for batch, _meta in metric_logger.log_every(
+                device_prefetch(loader, mesh, depth=cfg["prefetch"]),
+                cfg["print_freq"],
+                header=f"Epoch: [{epoch}]",
+            ):
+                state, metrics = train_step(state, batch)
+                pending.append((global_step, metrics))
+                global_step += 1
+                if len(pending) >= max(cfg["print_freq"], 1):
+                    drain()
+            drain()
         if profiling:
             jax.profiler.stop_trace()
         log.info("=> Epoch[%d]: train end, duration: %.2fs", epoch, time.time() - start)
