@@ -17,9 +17,8 @@ optional key. New TPU-specific keys are additive and default sensibly:
 
 from __future__ import annotations
 
-import dataclasses
 import json
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict
 
 _CHOICES = {
     "constrastive_loss": ("ce", "bce", "kl"),

@@ -16,9 +16,8 @@ import os
 import pickle
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from operator import itemgetter
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -20,7 +20,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from clip_event_tpu.data.transform import CLIP_MEAN, CLIP_STD, resize_matrix
 

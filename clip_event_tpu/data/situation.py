@@ -19,7 +19,6 @@ import json
 import logging
 import os
 from collections import defaultdict
-from operator import itemgetter
 from typing import Dict, Optional, Sequence
 
 import numpy as np

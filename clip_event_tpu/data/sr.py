@@ -12,7 +12,6 @@ missing boxes carry -1s.
 
 from __future__ import annotations
 
-import csv
 import json
 import logging
 import os

@@ -15,7 +15,6 @@ import json
 import logging
 import os
 
-import numpy as np
 
 from clip_event_tpu.data.common import ExampleDataset, load_image_file
 from clip_event_tpu.tokenizer import tokenize

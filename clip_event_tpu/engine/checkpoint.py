@@ -25,7 +25,6 @@ import numpy as np
 
 from clip_event_tpu.models.clip import CLIPConfig
 from clip_event_tpu.models.convert import (
-    config_from_state_dict,
     load_torch_checkpoint,
     params_from_state_dict,
     state_dict_from_params,

@@ -16,7 +16,7 @@ import logging
 import os
 import time
 from collections import defaultdict, deque
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 log = logging.getLogger(__name__)
 

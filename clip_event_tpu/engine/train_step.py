@@ -13,7 +13,6 @@ metrics that the host loop checks without forcing extra device syncs.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -6,7 +6,6 @@ import argparse
 import json
 import logging
 import os
-import sys
 
 
 def build_parser(description: str) -> argparse.ArgumentParser:

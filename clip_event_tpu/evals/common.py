@@ -8,7 +8,7 @@ reference documents these entry points but ships none (`README.md:212-229`).
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -7,7 +7,6 @@ the per-event-type template embeddings. Reports accuracy + macro P/R/F1.
 
 from __future__ import annotations
 
-import numpy as np
 
 from clip_event_tpu.data.common import DataLoader
 from clip_event_tpu.data.m2e2 import M2E2Dataset

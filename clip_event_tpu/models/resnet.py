@@ -14,7 +14,6 @@ identical to the reference's full attention followed by `x[0]`,
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Store layout (plain dicts, JSON-serializable):
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Iterable, Tuple
+from typing import Iterable, Tuple
 
 from clip_event_tpu.data.coldstart import parse_offset
 

@@ -23,7 +23,7 @@ import logging
 import random
 import re
 from collections import defaultdict
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 log = logging.getLogger(__name__)
 

@@ -18,7 +18,6 @@ import pprint
 import sys
 import time
 
-import numpy as np
 
 log = logging.getLogger(__name__)
 
@@ -57,13 +56,12 @@ def main():
     from clip_event_tpu.engine.metrics import MetricLogger, ScalarWriter, create_logger
     from clip_event_tpu.engine.optim import build_optimizer, build_schedule
     from clip_event_tpu.engine.train_step import (
-        TrainState,
         create_train_state,
         make_multi_step,
         make_train_step,
     )
     from clip_event_tpu.models import init_params
-    from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
+    from clip_event_tpu.parallel import make_mesh, replicate
 
     task = cfg["task"]
     tb_log_dir = os.path.join(cfg["tb_log_dir"], task, "tensorboard")
