@@ -44,6 +44,7 @@ def save_checkpoint(
     params: Any,
     opt_state: Any,
     perf: float = 0.0,
+    step: int = 0,
 ) -> Optional[str]:
     """Rank-0 save; errors are logged, not raised (engine.py:215-218)."""
     if jax.process_index() != 0:
@@ -58,10 +59,11 @@ def save_checkpoint(
                 {
                     "params": jax.tree.map(np.asarray, params),
                     "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "step": np.asarray(int(step), np.int32),
                 },
                 force=True,
             )
-        meta = {"epoch": epoch, "model": task, "perf": float(perf)}
+        meta = {"epoch": epoch, "model": task, "perf": float(perf), "step": int(step)}
         with open(path + ".meta.json", "w") as fh:
             json.dump(meta, fh)
         log.info("=> saved checkpoint to %s", path)
@@ -71,15 +73,49 @@ def save_checkpoint(
         return None
 
 
-def restore_checkpoint(path: str) -> Tuple[Any, Any, dict]:
-    """Returns (params, opt_state, meta{epoch, model, perf})."""
-    import orbax.checkpoint as ocp
-
-    with ocp.PyTreeCheckpointer() as ckptr:
-        tree = ckptr.restore(path)
-    meta = {"epoch": 0, "model": "", "perf": 0.0}
+def load_meta(path: str) -> dict:
+    """Checkpoint sidecar metadata {epoch, model, perf, step} — readable
+    before the optimizer/template needed for a typed restore exist."""
+    meta = {"epoch": 0, "model": "", "perf": 0.0, "step": 0}
     if os.path.exists(path + ".meta.json"):
         meta.update(json.load(open(path + ".meta.json")))
+    return meta
+
+
+def restore_checkpoint(
+    path: str,
+    params_template: Any = None,
+    optimizer: Any = None,
+) -> Tuple[Any, Any, dict]:
+    """Returns (params, opt_state, meta{epoch, model, perf, step}).
+
+    When `params_template` (a pytree of arrays or ShapeDtypeStructs) and the
+    `optimizer` (optax transform) are given, the restore is TYPED: orbax
+    restores into the structure of `optimizer.init(params_template)`, so
+    optax NamedTuples (ScaleByAdamState, ...) come back as real NamedTuples
+    that `optimizer.update` accepts — not the raw lists/dicts a
+    template-free restore produces. Always pass them when the opt_state will
+    be used to continue training (reference resume: train.py:108-124).
+    """
+    import orbax.checkpoint as ocp
+
+    meta = load_meta(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        template = None
+        if params_template is not None and optimizer is not None:
+            # old checkpoints were saved without the 'step' leaf
+            saved_keys = set(ckptr.metadata(path).item_metadata.keys())
+
+            def build(p):
+                tree = {"params": p, "opt_state": optimizer.init(p)}
+                if "step" in saved_keys:
+                    tree["step"] = jax.numpy.zeros((), jax.numpy.int32)
+                return tree
+
+            template = jax.eval_shape(build, params_template)
+        tree = ckptr.restore(path, item=template) if template is not None else ckptr.restore(path)
+    if "step" in tree:
+        meta["step"] = int(tree["step"])
     return tree["params"], tree["opt_state"], meta
 
 

@@ -75,15 +75,80 @@ def test_checkpoint_roundtrip(tmp_path):
     opt = build_optimizer("adam", build_schedule("none", 1e-4, 2))
     opt_state = opt.init(params)
 
-    path = save_checkpoint(str(tmp_path), "demo", 3, params, opt_state, perf=0.5)
+    path = save_checkpoint(str(tmp_path), "demo", 3, params, opt_state, perf=0.5, step=7)
     assert path is not None
     assert latest_checkpoint(str(tmp_path), "demo") == path
 
-    params2, opt2, meta = restore_checkpoint(path)
-    assert meta["epoch"] == 3 and meta["perf"] == 0.5
+    params2, opt2, meta = restore_checkpoint(path, params_template=params, optimizer=opt)
+    assert meta["epoch"] == 3 and meta["perf"] == 0.5 and meta["step"] == 7
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert len(jax.tree.leaves(opt_state)) == len(jax.tree.leaves(opt2))
+    # typed restore: opt_state must come back with its optax NamedTuple
+    # structure intact, not as raw lists/dicts
+    assert jax.tree.structure(opt2) == jax.tree.structure(opt_state)
+
+
+def test_checkpoint_resume_continues_training(tmp_path):
+    """train 2 steps -> save -> restore -> train 2 more == uninterrupted
+    4-step run, leaf for leaf (the round-1 resume bug: a template-free orbax
+    restore returned plain dicts that optimizer.update rejected)."""
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_train_step
+    from clip_event_tpu.models import init_params
+    from tests.test_model_parity import TINY_VIT
+
+    cfg = TINY_VIT
+    B, NPOS, G = 2, 1, 2
+    layout = build_label_layout(B, NPOS, G, "ce", True)
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(4):
+        tokens = rng.integers(1, cfg.vocab_size - 2, size=(B * (NPOS + G), cfg.context_length)).astype(np.int32)
+        tokens[:, -1] = cfg.vocab_size - 1
+        batches.append({
+            "image": rng.normal(size=(B, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32),
+            "text": tokens,
+            "labels_per_image": layout.labels_per_image,
+            "labels_per_text": layout.labels_per_text,
+            "index_pos": layout.index_pos,
+        })
+
+    # warmup schedule so the restored update-count actually matters
+    opt = build_optimizer("adam", build_schedule("warmup", 1e-3, 4, steps_per_epoch=1))
+    step = make_train_step(cfg, opt, loss_type="ce", overbatch=True, donate=False, remat=False)
+
+    params0 = init_params(jax.random.PRNGKey(0), cfg)
+
+    # uninterrupted 4-step run
+    state = create_train_state(params0, opt)
+    for b in batches:
+        state, _ = step(state, b)
+    ref = state
+
+    # interrupted: 2 steps -> save -> restore -> 2 steps
+    state = create_train_state(params0, opt)
+    for b in batches[:2]:
+        state, _ = step(state, b)
+    path = save_checkpoint(str(tmp_path), "resume", 0, state.params, state.opt_state,
+                           step=int(state.step))
+    params, opt_state, meta = restore_checkpoint(
+        path, params_template=jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0), cfg)),
+        optimizer=opt,
+    )
+    state = create_train_state(params, opt)._replace(
+        opt_state=opt_state, step=jax.numpy.asarray(meta["step"], jax.numpy.int32)
+    )
+    assert meta["step"] == 2
+    for b in batches[2:]:
+        state, _ = step(state, b)  # raised AttributeError before the fix
+
+    assert int(state.step) == int(ref.step) == 4
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref.opt_state), jax.tree.leaves(state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_torch_checkpoint_export_import(tmp_path):
@@ -164,6 +229,55 @@ def test_train_cli_end_to_end(tmp_path):
         for line in open(tmp_path / "logs" / "smoke" / "tensorboard" / "scalars.jsonl")
     ]
     assert any(s["tag"] == "val_i2t_top1" for s in scalars)
+
+
+@pytest.mark.slow
+def test_train_cli_resume(tmp_path):
+    """Epoch 0 -> checkpoint -> second train.py invocation resumes from it
+    and completes epoch 1 (reference resume contract, train.py:108-124)."""
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    base = {
+        "task": "resume",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "warmup",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = tmp_path / "cfg0.json"
+    cfg_path.write_text(json.dumps(base))
+    proc = subprocess.run([sys.executable, "train.py", "--cfg", str(cfg_path)],
+                          capture_output=True, text=True, timeout=600, cwd=cwd, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    ckpt0 = tmp_path / "ckpt" / "resume" / "resume_0"
+    assert ckpt0.exists()
+
+    resume_cfg = dict(base, begin_ckpt=str(ckpt0), max_epoch=2)
+    cfg_path2 = tmp_path / "cfg1.json"
+    cfg_path2.write_text(json.dumps(resume_cfg))
+    proc = subprocess.run([sys.executable, "train.py", "--cfg", str(cfg_path2)],
+                          capture_output=True, text=True, timeout=600, cwd=cwd, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (tmp_path / "ckpt" / "resume" / "resume_1").exists()
+    meta = json.load(open(tmp_path / "ckpt" / "resume" / "resume_1.meta.json"))
+    assert meta["epoch"] == 1 and meta["step"] > 0
 
 
 @pytest.mark.slow

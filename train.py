@@ -50,6 +50,7 @@ def main():
     from clip_event_tpu.data.voa import VOADescriptionDataset
     from clip_event_tpu.engine.checkpoint import (
         import_initial_checkpoint,
+        load_meta,
         restore_checkpoint,
         save_checkpoint,
     )
@@ -81,17 +82,22 @@ def main():
     # ---- model / resume
     mcfg = model_config(cfg)
     best_perf, begin_epoch = 0.0, cfg["begin_epoch"]
-    resume_opt_state = None
+    resume_path = None
     if cfg["jit"]:
         # bootstrap from an OpenAI JIT archive / torch checkpoint
         params, inferred = import_initial_checkpoint(cfg["begin_ckpt"])
         mcfg = inferred
         log.info("=> imported torch checkpoint %s (%s)", cfg["begin_ckpt"], mcfg)
     elif cfg["begin_ckpt"] and os.path.exists(str(cfg["begin_ckpt"])):
-        params, resume_opt_state, meta = restore_checkpoint(cfg["begin_ckpt"])
+        # Only the sidecar meta is read here (begin_epoch feeds the LR
+        # schedule); the typed restore of params/opt_state happens after the
+        # optimizer exists so optax NamedTuples round-trip intact.
+        resume_path = str(cfg["begin_ckpt"])
+        meta = load_meta(resume_path)
         best_perf = meta.get("perf", 0.0)
         begin_epoch = int(meta.get("epoch", begin_epoch)) + (1 if cfg["is_train"] else 0)
-        log.info("=> resumed %s (epoch %s, perf %s)", cfg["begin_ckpt"], begin_epoch, best_perf)
+        params = None
+        log.info("=> resuming %s (epoch %s, perf %s)", resume_path, begin_epoch, best_perf)
     elif cfg["begin_ckpt"]:
         log.error("=> cannot find checkpoint: %s", cfg["begin_ckpt"])
         sys.exit(1)
@@ -188,15 +194,30 @@ def main():
             multiattention_pooling=cfg["multiattention_pooling"],
         )
 
+    resume_step = 0
+    resume_opt_state = None
+    if resume_path is not None:
+        params_template = jax.eval_shape(
+            lambda: init_params(jax.random.PRNGKey(0), mcfg)
+        )
+        params, resume_opt_state, meta = restore_checkpoint(
+            resume_path, params_template=params_template, optimizer=optimizer
+        )
+        resume_step = int(meta.get("step", 0))
+        log.info("=> restored params/opt_state (step %d)", resume_step)
+
     mesh = make_mesh()
     state = create_train_state(replicate(params, mesh), optimizer)
     state = state._replace(opt_state=replicate(state.opt_state, mesh))
     if resume_opt_state is not None:
-        state = state._replace(opt_state=replicate(resume_opt_state, mesh))
+        state = state._replace(
+            opt_state=replicate(resume_opt_state, mesh),
+            step=jnp.asarray(resume_step, jnp.int32),
+        )
     del params
 
     # ---- epoch loop
-    global_step = 0
+    global_step = resume_step
     for epoch in range(begin_epoch, cfg["max_epoch"]):
         log.info("=> Epoch[%d]: train start", epoch)
         loader.set_epoch(epoch)
@@ -287,7 +308,8 @@ def main():
                 writer.add_scalar("val_i2t_top1", val["i2t_top1"], epoch)
 
         save_checkpoint(
-            ckpt_dir, task, epoch, state.params, state.opt_state, best_perf
+            ckpt_dir, task, epoch, state.params, state.opt_state, best_perf,
+            step=int(state.step),
         )
 
     if writer is not None:
