@@ -77,18 +77,18 @@ def main():
     state = state._replace(opt_state=replicate(state.opt_state, mesh))
 
     # compile + warmup
-    state, losses = run_k(state, batch)
-    jax.block_until_ready(losses)
+    state, metrics = run_k(state, batch)
+    jax.block_until_ready(metrics)
 
     times = []
     for _ in range(MEASURE_CALLS):
         t0 = time.perf_counter()
-        state, losses = run_k(state, batch)
-        jax.block_until_ready(losses)
+        state, metrics = run_k(state, batch)
+        jax.block_until_ready(metrics)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2] / STEPS_PER_CALL
 
-    assert np.isfinite(np.asarray(losses)).all(), "non-finite loss in benchmark"
+    assert np.isfinite(np.asarray(metrics["loss"])).all(), "non-finite loss in benchmark"
     pairs_per_sec_per_chip = (B * D) / dt / n_chips
     print(
         json.dumps(
@@ -98,6 +98,10 @@ def main():
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(
                     pairs_per_sec_per_chip / V100_BASELINE_PAIRS_PER_SEC, 2
+                ),
+                "baseline": (
+                    f"estimated V100 ~{V100_BASELINE_PAIRS_PER_SEC:.0f} pairs/s "
+                    "(reference publishes no numbers; see BASELINE.md)"
                 ),
             }
         )

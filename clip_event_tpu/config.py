@@ -142,8 +142,6 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         )
     if out["multiattention_pooling"] not in ("mean", "attention"):
         raise ConfigError("multiattention_pooling must be 'mean' or 'attention'")
-    if out["steps_per_dispatch"] > 1 and out["multiattention"]:
-        raise ConfigError("steps_per_dispatch>1 does not support multiattention yet")
     return out
 
 

@@ -53,6 +53,18 @@ class SmoothedValue:
     def value(self) -> float:
         return self.deque[-1] if self.deque else 0.0
 
+    def synchronize_between_processes(self):
+        """All-reduce count/total so `global_avg` is global (reference
+        `SmoothedValue.synchronize_between_processes`, `utils.py:36-47`).
+        Window stats (median/avg/value) stay local, as in the reference."""
+        from clip_event_tpu.parallel.collectives import reduce_dict
+
+        t = reduce_dict(
+            {"count": float(self.count), "total": self.total}, average=False
+        )
+        self.count = int(t["count"])
+        self.total = t["total"]
+
     def __str__(self):
         return self.fmt.format(
             median=self.median, avg=self.avg, global_avg=self.global_avg,
@@ -71,6 +83,13 @@ class MetricLogger:
     def update(self, **kwargs):
         for name, value in kwargs.items():
             self.meters[name].update(float(value))
+
+    def synchronize_between_processes(self):
+        """Sync every meter's global stats across processes — needed for
+        host-side quantities (data_time, iter_time) that diverge per process
+        (device-side losses are already global under pjit)."""
+        for meter in self.meters.values():
+            meter.synchronize_between_processes()
 
     def __getattr__(self, name):
         if name in self.meters:

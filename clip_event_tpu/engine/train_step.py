@@ -99,7 +99,7 @@ def loss_fn(
     return total, loss_dict
 
 
-def make_train_step(
+def _build_step_fn(
     cfg: CLIPConfig,
     optimizer: optax.GradientTransformation,
     loss_type: str = "ce",
@@ -108,11 +108,12 @@ def make_train_step(
     use_pallas_ot: bool = False,
     compute_dtype=jnp.float32,
     remat: bool = True,
-    donate: bool = True,
     multiattention: Optional[str] = None,
     multiattention_pooling: str = "mean",
 ):
-    """Returns jitted `train_step(state, batch) -> (state, metrics)`."""
+    """The ONE step function both dispatch modes share: the K-steps-fused
+    path must carry the identical loss surface (alignment, multiattention)
+    and metrics dict as single-step dispatch."""
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -133,6 +134,17 @@ def make_train_step(
         metrics = {"loss": total, "finite": finite, **loss_dict}
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
+    return step_fn
+
+
+def make_train_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+    **step_kwargs,
+):
+    """Returns jitted `train_step(state, batch) -> (state, metrics)`."""
+    step_fn = _build_step_fn(cfg, optimizer, **step_kwargs)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
@@ -146,30 +158,12 @@ def make_multi_step(
 
     Used for benchmarking (amortizes host→device dispatch latency away) and
     for high-throughput training on prefetched batch stacks: `batches` is a
-    pytree whose leaves have a leading [K, ...] axis; pass `None` to reuse a
-    single closed-over batch per step.
+    pytree whose leaves have a leading [K, ...] axis. Runs the same step
+    function as `make_train_step` (full loss surface, full metrics dict —
+    each metric comes back stacked [K]).
     """
     donate = step_kwargs.pop("donate", True)
-
-    def step_fn(state: TrainState, batch):
-        (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, cfg,
-            step_kwargs.get("loss_type", "ce"),
-            step_kwargs.get("overbatch", True),
-            step_kwargs.get("alignment", False),
-            step_kwargs.get("use_pallas_ot", False),
-            step_kwargs.get("compute_dtype", jnp.float32),
-            step_kwargs.get("remat", True),
-        )
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        finite = jnp.isfinite(total)
-        new_params, new_opt_state = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old),
-            (new_params, new_opt_state),
-            (state.params, state.opt_state),
-        )
-        return TrainState(new_params, new_opt_state, state.step + 1), total
+    step_fn = _build_step_fn(cfg, optimizer, **step_kwargs)
 
     def many(state: TrainState, batches):
         if batches is None:

@@ -10,6 +10,14 @@ launches:
   priority: explicit env (JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID)
           → OpenMPI (OMPI_COMM_WORLD_*) → SLURM (SLURM_PROCID/NODELIST)
           → single process.
+
+Deliberately dropped from the reference: the Philly, AMLK8S/ITP, and AML
+rendezvous branches (`utils_MPIAdapter.py:43-98`) — Azure-internal cluster
+stacks that were retired years before this rebuild and whose detection
+relied on files (`/dlts-runtime/env/init.env`) and env vars
+(`AZ_BATCH_MASTER_NODE`) those platforms injected. A deployment on a
+comparable scheduler should export the explicit JAX_COORDINATOR_* env
+(first branch) from its launcher instead.
 """
 
 from __future__ import annotations

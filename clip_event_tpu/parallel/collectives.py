@@ -80,12 +80,27 @@ def reduce_dict(metrics: Dict[str, float], average: bool = True) -> Dict[str, fl
 
 def all_gather_objects(obj):
     """Gather arbitrary picklable objects from every process (fixed version
-    of the reference's `all_gather`, which forgot to import pickle)."""
+    of the reference's `all_gather`, which forgot to import pickle).
+
+    Pickles to a uint8 buffer, all-gathers sizes then max-padded payloads
+    (the reference's padded-tensor protocol, `utils.py:110-127`) —
+    `process_allgather` alone gathers pytree *leaves*, not objects."""
     if jax.process_count() <= 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(np.asarray([data.size], np.int32))
+    sizes = np.asarray(sizes).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(jax.process_count())
+    ]
 
 
 def gather_features(features: jnp.ndarray, axis_name: str = DATA_AXIS) -> jnp.ndarray:

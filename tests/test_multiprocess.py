@@ -1,0 +1,76 @@
+"""2-process jax.distributed integration test for the comm layer.
+
+Exercises the `process_count() > 1` branches that single-process tests can
+never reach: reduce_dict, all_gather_objects, comm.synchronize, and the
+SmoothedValue cross-process sync (reference semantics `utils.py:94-206,
+459-512` and `utils.py:36-47`). Two CPU subprocesses rendezvous through a
+local coordinator, mirroring how the reference exercises NCCL only by
+launching for real (SURVEY §4).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid = sys.argv[1], int(sys.argv[2])
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2
+
+from clip_event_tpu.engine.metrics import SmoothedValue
+from clip_event_tpu.parallel.collectives import all_gather_objects, comm, reduce_dict
+
+assert comm.world_size == 2 and comm.rank == pid
+assert comm.is_main_process == (pid == 0)
+
+out = reduce_dict({"loss": float(pid + 1), "acc": 10.0 * (pid + 1)}, average=True)
+assert abs(out["loss"] - 1.5) < 1e-6, out
+assert abs(out["acc"] - 15.0) < 1e-6, out
+out = reduce_dict({"n": float(pid + 1)}, average=False)
+assert abs(out["n"] - 3.0) < 1e-6, out
+
+objs = all_gather_objects({"rank": pid, "payload": "x" * (10 + 100 * pid)})
+assert [o["rank"] for o in objs] == [0, 1], objs
+assert len(objs[1]["payload"]) == 110, objs
+
+meter = SmoothedValue()
+for v in range(3):  # rank0 sees 0,1,2 ; rank1 sees 10,11,12
+    meter.update(10.0 * pid + v)
+meter.synchronize_between_processes()
+assert meter.count == 6
+assert abs(meter.global_avg - (0 + 1 + 2 + 10 + 11 + 12) / 6) < 1e-6
+
+comm.synchronize()
+print(f"WORKER_{pid}_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_collectives(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("XLA_FLAGS", None)  # workers use their own single-device backend
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(port), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=repo, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"WORKER_{i}_OK" in out

@@ -124,31 +124,56 @@ def test_nan_guard_freezes_update():
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), old_leaf)
 
 
+def _add_bbox_channel(batch, cfg, rng, R=3):
+    batch["bbox"] = rng.uniform(0, 0.5, size=(B, R, 4)).astype(np.float32)
+    batch["bbox"][..., 2:] += 0.4
+    batch["bbox_mask"] = np.ones((B, R), np.int32)
+    batch["bbox_desc_text"] = rng.integers(
+        1, cfg.vocab_size - 2, size=(B, R, cfg.context_length)
+    ).astype(np.int32)
+    batch["bbox_label_text"] = batch["bbox_desc_text"].copy()
+    return batch
+
+
 def test_multi_step_stacked_batches():
-    """make_multi_step over a [K, ...] batch stack equals K sequential steps."""
+    """make_multi_step over a [K, ...] batch stack equals K sequential steps,
+    with the FULL loss surface enabled (alignment + multiattention): one code
+    path for benchmarking and full-featured training."""
     from clip_event_tpu.engine.train_step import make_multi_step
 
     cfg = TINY_VIT
     opt = _optimizer()
     params = init_params(jax.random.PRNGKey(7), cfg)
-    batches = [_make_batch(cfg, seed=s) for s in (10, 11, 12)]
+    rng = np.random.default_rng(99)
+    batches = [
+        _add_bbox_channel(_make_batch(cfg, seed=s, alignment=True), cfg, rng)
+        for s in (10, 11, 12)
+    ]
+    kwargs = dict(alignment=True, multiattention="desc_type", donate=False, remat=False)
 
     # sequential reference
-    step = make_train_step(cfg, opt, donate=False, remat=False)
+    step = make_train_step(cfg, opt, **kwargs)
     state_seq = create_train_state(params, opt)
-    seq_losses = []
+    seq_metrics = []
     for b in batches:
         state_seq, m = step(state_seq, b)
-        seq_losses.append(float(m["loss"]))
+        seq_metrics.append(m)
 
     # fused: stack batches on the leading axis
     stacked = {
         k: np.stack([b[k] for b in batches]) for k in batches[0]
     }
-    many, _ = make_multi_step(cfg, opt, 3, donate=False, remat=False)
+    many, _ = make_multi_step(cfg, opt, 3, **kwargs)
     state_fused = create_train_state(params, opt)
-    state_fused, losses = many(state_fused, stacked)
-    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    state_fused, metrics_k = many(state_fused, stacked)
+    # full per-step metrics dict, not just totals
+    for key in ("loss", "loss_ot", "loss_bbox", "loss_arg", "finite"):
+        assert key in metrics_k, key
+        np.testing.assert_allclose(
+            np.asarray(metrics_k[key]),
+            [float(m[key]) for m in seq_metrics],
+            rtol=1e-5, atol=1e-7,
+        )
     for a, b in zip(jax.tree.leaves(state_seq.params), jax.tree.leaves(state_fused.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
@@ -162,7 +187,7 @@ def test_multi_step_fixed_batch():
     batch = _make_batch(cfg, seed=13)
     _, many_fixed = make_multi_step(cfg, opt, 4, donate=False, remat=False)
     state = create_train_state(params, opt)
-    state, losses = many_fixed(state, batch)
-    losses = np.asarray(losses)
+    state, metrics_k = many_fixed(state, batch)
+    losses = np.asarray(metrics_k["loss"])
     assert losses.shape == (4,)
     assert losses[-1] < losses[0]  # it trains

@@ -178,6 +178,8 @@ def main():
             use_pallas_ot=cfg["use_pallas_ot"],
             compute_dtype=compute_dtype,
             remat=cfg["remat"],
+            multiattention=cfg["multiattention"],
+            multiattention_pooling=cfg["multiattention_pooling"],
         )
         train_step = None
     else:
@@ -259,9 +261,13 @@ def main():
                         k: _jnp.stack([b[k] for b in buffer]) for k in buffer[0]
                     }
                     buffer = []
-                    state, losses = multi_step(state, stacked)
-                    for j, loss in enumerate(_jnp.ravel(losses)):
-                        pending.append((global_step, {"loss": loss, "finite": _jnp.isfinite(loss)}))
+                    # same step function as single-dispatch: full metrics
+                    # dict per fused step, each leaf stacked [K]
+                    state, metrics_k = multi_step(state, stacked)
+                    for j in range(steps_per_dispatch):
+                        pending.append(
+                            (global_step, {k: v[j] for k, v in metrics_k.items()})
+                        )
                         global_step += 1
                     if len(pending) >= max(cfg["print_freq"], 1):
                         drain()
@@ -280,6 +286,9 @@ def main():
             drain()
         if profiling:
             jax.profiler.stop_trace()
+        # host-side meters (iter/data time) diverge per process; sync their
+        # global stats before logging (reference utils.py:36-47)
+        metric_logger.synchronize_between_processes()
         log.info("=> Epoch[%d]: train end, duration: %.2fs", epoch, time.time() - start)
 
         if writer is not None:
