@@ -48,7 +48,10 @@ class Encoders:
 
 
 def collect(loader, fields: Tuple[str, ...]):
-    """Drain a DataLoader, concatenating the given tensor fields + metas."""
+    """Drain a DataLoader, concatenating the given tensor fields + metas.
+
+    Fixture-scale only: this materializes every decoded image in host RAM.
+    Production evals stream through `collect_encoded` instead."""
     tensors = {f: [] for f in fields}
     metas = []
     for batch, meta in loader:
@@ -57,6 +60,30 @@ def collect(loader, fields: Tuple[str, ...]):
         metas.extend(meta)
     out = {f: np.concatenate(v) for f, v in tensors.items() if v}
     return out, metas
+
+
+def collect_encoded(loader, enc: "Encoders", encode: dict, keep: Tuple[str, ...] = ()):
+    """One streaming pass over the loader: heavy fields are encoded
+    batch-by-batch into [N, E] feature matrices (decoded images never
+    accumulate on the host — full-SWiG-scale evals fit in ~100 MB instead of
+    ~15 GB), small fields and metas are concatenated as-is.
+
+    `encode` maps field name → 'image' | 'text'. Returns (features dict,
+    kept-tensors dict, metas list)."""
+    feats = {f: [] for f in encode}
+    kept = {f: [] for f in keep}
+    metas = []
+    for batch, meta in loader:
+        for f, kind in encode.items():
+            fn = enc.images if kind == "image" else enc.texts
+            x = np.asarray(batch[f])
+            feats[f].append(fn(x.reshape(-1, x.shape[-1]) if kind == "text" and x.ndim > 2 else x))
+        for f in keep:
+            kept[f].append(np.asarray(batch[f]))
+        metas.extend(meta)
+    out_f = {f: (np.concatenate(v) if v else np.zeros((0,), np.float32)) for f, v in feats.items()}
+    out_k = {f: (np.concatenate(v) if v else np.zeros((0,), np.float32)) for f, v in kept.items()}
+    return out_f, out_k, metas
 
 
 def recall_at_k(ranks: np.ndarray, ks=(1, 5, 10)) -> dict:

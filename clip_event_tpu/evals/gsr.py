@@ -8,6 +8,11 @@ patch window; correct when IoU with the gold box ≥ 0.5
 (`utils_image.py:65-73`). This realizes the paper's argument-localization
 capability with the grid features the reference exposes via
 `encode_image(use_grid=True)` (`model_clip.py:253-256`).
+
+Streaming + device-batched: one pass over the loader; per batch, ONE grid
+encode, ONE role-text encode ([b·R, 77]), and fully vectorized heat-map /
+IoU scoring — no per-image, per-role host loops, no image accumulation.
+Full SWiG (~25k images) holds only [N, E] features in host RAM.
 """
 
 from __future__ import annotations
@@ -17,9 +22,9 @@ import numpy as np
 
 from clip_event_tpu.data.common import DataLoader
 from clip_event_tpu.data.sr import GSRDataset
-from clip_event_tpu.evals.common import Encoders, collect
+from clip_event_tpu.evals.common import Encoders
 from clip_event_tpu.models import clip as clip_model
-from clip_event_tpu.ops.bbox import grounding_correct
+from clip_event_tpu.ops.bbox import iou_batch
 
 
 def _grid_features_fn(cfg, compute_dtype=None):
@@ -35,14 +40,41 @@ def _grid_features_fn(cfg, compute_dtype=None):
     return fn
 
 
-def patch_window_bbox(heat: np.ndarray, grid: int, topk: int = 1) -> list:
-    """Top-k grid cells → union bbox in normalized coords."""
-    flat = heat.reshape(-1)
-    top = np.argsort(flat)[::-1][:topk]
+def window_boxes(heat: np.ndarray, grid: int, topk: int = 1) -> np.ndarray:
+    """Vectorized: [..., G²] heat maps → [..., 4] union bbox of the top-k
+    grid cells, in normalized coords."""
+    k = min(topk, heat.shape[-1])
+    top = np.argpartition(-heat, k - 1, axis=-1)[..., :k]
     rows, cols = top // grid, top % grid
-    x0, x1 = cols.min() / grid, (cols.max() + 1) / grid
-    y0, y1 = rows.min() / grid, (rows.max() + 1) / grid
-    return [x0, y0, x1, y1]
+    return np.stack(
+        [
+            cols.min(axis=-1) / grid,
+            rows.min(axis=-1) / grid,
+            (cols.max(axis=-1) + 1) / grid,
+            (rows.max(axis=-1) + 1) / grid,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def patch_window_bbox(heat: np.ndarray, grid: int, topk: int = 1) -> list:
+    """Single-heat-map convenience wrapper around `window_boxes`."""
+    return list(window_boxes(heat.reshape(-1), grid, topk))
+
+
+def _pad_object_boxes(metas_b, b):
+    """Per-image detected boxes (ragged) → padded [b, K, 4] + mask."""
+    boxes_list = [m.get("object_bboxes", []) or [] for m in metas_b]
+    K = max((len(x) for x in boxes_list), default=0)
+    if K == 0:
+        return None, None
+    box_arr = np.zeros((b, K, 4), np.float32)
+    box_mask = np.zeros((b, K), np.int32)
+    for i, bl in enumerate(boxes_list):
+        if bl:
+            box_arr[i, : len(bl)] = np.asarray(bl, np.float32)
+            box_mask[i, : len(bl)] = 1
+    return box_arr, box_mask
 
 
 def evaluate_gsr(
@@ -59,91 +91,84 @@ def evaluate_gsr(
     similarity between the role description and each box's window-pooled
     grid feature (requires `dataset.load_object`) — the reference's
     detected-object channel realized as an eval."""
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models.clip import l2_normalize
+    from clip_event_tpu.models.local_attention import pool_bbox_features
+
+    do_grounding = cfg.is_vit
+    if do_grounding and ground_via == "objects" and not dataset.load_object:
+        raise ValueError("ground_via='objects' needs dataset.load_object=True")
+
+    B = min(batch_size, len(dataset))
     loader = DataLoader(
-        dataset, batch_size=min(batch_size, len(dataset)), shuffle=False,
-        drop_last=False, num_workers=8,
+        dataset, batch_size=B, shuffle=False, drop_last=False, num_workers=8,
     )
     enc = Encoders(params, cfg, batch_size=batch_size)
-    tensors, metas = collect(loader, ("image", "verb_idx", "role_text", "role_mask", "role_bbox"))
+    grid = cfg.grid_size
+    grid_fn = _grid_features_fn(cfg) if do_grounding else None
 
-    # ---- verb classification
-    image_feats = enc.images(tensors["image"])
+    image_feats, gold_verbs = [], []
+    hits, total = 0, 0
+    for batch, metas_b in loader:
+        images = np.asarray(batch["image"])
+        b = images.shape[0]
+        image_feats.append(enc.images(images))
+        gold_verbs.append(np.asarray(batch["verb_idx"]))
+        if not do_grounding:
+            continue
+
+        pad = B - b
+        chunk = (
+            np.concatenate([images, np.repeat(images[-1:], pad, axis=0)])
+            if pad else images
+        )
+        gfeat = np.asarray(grid_fn(params, chunk))[:b]  # [b, G²+1, E]
+        grid_feats = gfeat[:, 1:]  # drop CLS
+
+        role_text = np.asarray(batch["role_text"])  # [b, R, 77]
+        R = role_text.shape[1]
+        role_feats = enc.texts(role_text.reshape(b * R, -1)).reshape(b, R, -1)
+        role_mask = np.asarray(batch["role_mask"]).astype(bool)  # [b, R]
+        role_bbox = np.asarray(batch["role_bbox"], np.float32)  # [b, R, 4]
+        valid = role_mask & (role_bbox[..., 0] >= 0)
+
+        if ground_via == "objects":
+            box_arr, box_mask = _pad_object_boxes(metas_b, b)
+            if box_arr is None:
+                continue
+            box_feats = np.asarray(
+                l2_normalize(
+                    pool_bbox_features(
+                        jnp.asarray(grid_feats), jnp.asarray(box_arr),
+                        jnp.asarray(box_mask), grid,
+                    ),
+                    eps=1e-8,
+                )
+            )  # [b, K, E]
+            scores = np.einsum("bre,bke->brk", role_feats, box_feats)
+            scores = np.where(box_mask[:, None, :] > 0, scores, -np.inf)
+            pred_boxes = box_arr[np.arange(b)[:, None], scores.argmax(-1)]  # [b, R, 4]
+            valid &= box_mask.any(-1)[:, None]
+        else:
+            heat = np.einsum("bre,bge->brg", role_feats, grid_feats)  # [b, R, G²]
+            pred_boxes = window_boxes(heat, grid, ground_topk)  # [b, R, 4]
+
+        ious = iou_batch(pred_boxes, role_bbox)
+        hits += int(((ious >= iou_threshold) & valid).sum())
+        total += int(valid.sum())
+
+    image_feats = np.concatenate(image_feats)
+    gold = np.concatenate(gold_verbs)
     cand_feats = enc.texts(dataset.candidate_tokens)
     logits = image_feats @ cand_feats.T
     order = np.argsort(-logits, axis=1)
-    gold = tensors["verb_idx"]
-    top1 = float((order[:, 0] == gold).mean())
-    top5 = float((order[:, :5] == gold[:, None]).any(axis=1).mean())
-
     metrics = {
-        "verb_top1": top1,
-        "verb_top5": top5,
+        "verb_top1": float((order[:, 0] == gold).mean()),
+        "verb_top5": float((order[:, :5] == gold[:, None]).any(axis=1).mean()),
         "num_images": int(len(gold)),
     }
-
-    # ---- argument grounding via grid-token similarity
-    if cfg.is_vit:
-        if ground_via == "objects" and not dataset.load_object:
-            raise ValueError("ground_via='objects' needs dataset.load_object=True")
-        grid = cfg.grid_size
-        grid_fn = _grid_features_fn(cfg)
-        hits, total = 0, 0
-        B = batch_size
-        images = tensors["image"]
-        for start in range(0, images.shape[0], B):
-            chunk = images[start : start + B]
-            pad = B - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
-            gfeat = np.asarray(grid_fn(params, chunk))[: B - pad]  # [b, G²+1, E]
-            for i in range(gfeat.shape[0]):
-                idx = start + i
-                mask = tensors["role_mask"][idx]
-                n = int(mask.sum())
-                if n == 0:
-                    continue
-                role_feats = enc.texts(tensors["role_text"][idx][:n])  # [n, E]
-
-                if ground_via == "objects":
-                    boxes = metas[idx].get("object_bboxes", [])
-                    if not boxes:
-                        continue
-                    import jax.numpy as jnp
-
-                    from clip_event_tpu.models.clip import l2_normalize
-                    from clip_event_tpu.models.local_attention import pool_bbox_features
-
-                    box_arr = np.asarray(boxes, np.float32)[None]  # [1, K, 4]
-                    box_feats = np.asarray(
-                        l2_normalize(
-                            pool_bbox_features(
-                                jnp.asarray(gfeat[i : i + 1, 1:]),
-                                jnp.asarray(box_arr),
-                                jnp.ones((1, box_arr.shape[1]), jnp.int32),
-                                grid,
-                            ),
-                            eps=1e-8,
-                        )
-                    )[0]  # [K, E]
-                    scores = role_feats @ box_feats.T  # [n, K]
-                    for r in range(n):
-                        gold_box = tensors["role_bbox"][idx][r]
-                        if gold_box[0] < 0:
-                            continue
-                        pred_box = boxes[int(scores[r].argmax())]
-                        ok, _ = grounding_correct([gold_box], [pred_box], iou_threshold)
-                        hits += ok
-                        total += 1
-                else:
-                    heat = role_feats @ gfeat[i, 1:].T  # [n, G²]
-                    for r in range(n):
-                        gold_box = tensors["role_bbox"][idx][r]
-                        if gold_box[0] < 0:
-                            continue
-                        pred_box = patch_window_bbox(heat[r].reshape(grid, grid), grid, ground_topk)
-                        ok, _ = grounding_correct([gold_box], [pred_box], iou_threshold)
-                        hits += ok
-                        total += 1
+    if do_grounding:
         metrics["grounding_acc"] = hits / total if total else 0.0
         metrics["grounded_args"] = total
         metrics["ground_via"] = ground_via

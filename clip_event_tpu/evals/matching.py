@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from clip_event_tpu.data.common import DataLoader
-from clip_event_tpu.evals.common import Encoders, collect
+from clip_event_tpu.evals.common import Encoders, collect_encoded
 
 
 def evaluate_matching(params, cfg, dataset, batch_size: int = 32) -> dict:
@@ -20,10 +20,10 @@ def evaluate_matching(params, cfg, dataset, batch_size: int = 32) -> dict:
         drop_last=False, num_workers=8,
     )
     enc = Encoders(params, cfg, batch_size=batch_size)
-    tensors, _metas = collect(loader, ("image", "text"))
-
-    image_feats = enc.images(tensors["image"])
-    text_feats = enc.texts(tensors["text"])
+    feats, _, _metas = collect_encoded(
+        loader, enc, {"image": "image", "text": "text"}
+    )
+    image_feats, text_feats = feats["image"], feats["text"]
     logits = image_feats @ text_feats.T  # [N, N]
     gold = np.arange(logits.shape[0])
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 
 from clip_event_tpu.data.common import DataLoader
-from clip_event_tpu.evals.common import Encoders, collect, recall_at_k
+from clip_event_tpu.evals.common import Encoders, collect_encoded, recall_at_k
 
 
 def evaluate_retrieval(params, cfg, dataset, batch_size: int = 32) -> dict:
@@ -18,10 +18,11 @@ def evaluate_retrieval(params, cfg, dataset, batch_size: int = 32) -> dict:
         drop_last=False, num_workers=8,
     )
     enc = Encoders(params, cfg, batch_size=batch_size)
-    tensors, _ = collect(loader, ("image", "text"))
-
-    image_feats = enc.images(tensors["image"])  # [N, E]
-    text_feats = enc.texts(tensors["text"])  # [N·C, E]
+    feats, _, _ = collect_encoded(
+        loader, enc, {"image": "image", "text": "text"}
+    )
+    image_feats = feats["image"]  # [N, E]
+    text_feats = feats["text"]  # [N·C, E]
     N = image_feats.shape[0]
     sims = text_feats @ image_feats.T  # [N·C, N]
 

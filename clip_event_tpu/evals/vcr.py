@@ -8,7 +8,7 @@ import numpy as np
 
 from clip_event_tpu.data.common import DataLoader
 from clip_event_tpu.data.vcr import NUM_CHOICES, VCRDataset
-from clip_event_tpu.evals.common import Encoders, collect
+from clip_event_tpu.evals.common import Encoders, collect_encoded
 
 
 def evaluate_vcr(params, cfg, dataset: VCRDataset, batch_size: int = 32) -> dict:
@@ -17,12 +17,12 @@ def evaluate_vcr(params, cfg, dataset: VCRDataset, batch_size: int = 32) -> dict
         drop_last=False, num_workers=8,
     )
     enc = Encoders(params, cfg, batch_size=batch_size)
-    tensors, _ = collect(loader, ("image", "text", "label"))
-
-    image_feats = enc.images(tensors["image"])  # [N, E]
-    text_feats = enc.texts(tensors["text"])  # [N·4, E]
-    text_feats = text_feats.reshape(image_feats.shape[0], NUM_CHOICES, -1)
+    feats, kept, _ = collect_encoded(
+        loader, enc, {"image": "image", "text": "text"}, keep=("label",)
+    )
+    image_feats = feats["image"]  # [N, E]
+    text_feats = feats["text"].reshape(image_feats.shape[0], NUM_CHOICES, -1)
     logits = np.einsum("ne,nce->nc", image_feats, text_feats)
     pred = logits.argmax(axis=1)
-    gold = tensors["label"]
+    gold = kept["label"]
     return {"accuracy": float((pred == gold).mean()), "num_questions": int(len(gold))}

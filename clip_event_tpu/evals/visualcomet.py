@@ -9,7 +9,7 @@ import numpy as np
 
 from clip_event_tpu.data.common import DataLoader
 from clip_event_tpu.data.visualcomet import VisualCOMETDataset
-from clip_event_tpu.evals.common import Encoders, collect, recall_at_k
+from clip_event_tpu.evals.common import Encoders, collect_encoded, recall_at_k
 
 
 def evaluate_visualcomet(params, cfg, dataset: VisualCOMETDataset, batch_size: int = 32) -> dict:
@@ -18,9 +18,8 @@ def evaluate_visualcomet(params, cfg, dataset: VisualCOMETDataset, batch_size: i
         drop_last=False, num_workers=8,
     )
     enc = Encoders(params, cfg, batch_size=batch_size)
-    tensors, metas = collect(loader, ("image",))
-
-    image_feats = enc.images(tensors["image"])
+    feats, _, metas = collect_encoded(loader, enc, {"image": "image"})
+    image_feats = feats["image"]
     cand_feats = enc.texts(dataset.candidate_tokens)
     logits = image_feats @ cand_feats.T  # [N, C]
     order = np.argsort(-logits, axis=1)

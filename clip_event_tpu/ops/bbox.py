@@ -62,6 +62,19 @@ def iou(box_a: Sequence[float], box_b: Sequence[float]) -> float:
     return inter / float(area_a + area_b - inter)
 
 
+def iou_batch(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Elementwise IoU over identically-shaped [..., 4] xyxy box arrays."""
+    xa = np.maximum(boxes_a[..., 0], boxes_b[..., 0])
+    ya = np.maximum(boxes_a[..., 1], boxes_b[..., 1])
+    xb = np.minimum(boxes_a[..., 2], boxes_b[..., 2])
+    yb = np.minimum(boxes_a[..., 3], boxes_b[..., 3])
+    inter = np.clip(xb - xa, 0, None) * np.clip(yb - ya, 0, None)
+    area_a = (boxes_a[..., 2] - boxes_a[..., 0]) * (boxes_a[..., 3] - boxes_a[..., 1])
+    area_b = (boxes_b[..., 2] - boxes_b[..., 0]) * (boxes_b[..., 3] - boxes_b[..., 1])
+    denom = area_a + area_b - inter
+    return np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0), 0.0)
+
+
 def grounding_correct(
     gold_boxes: Sequence[Sequence[float]],
     pred_boxes: Sequence[Sequence[float]],
