@@ -76,19 +76,19 @@ def main():
     state = create_train_state(replicate(params, mesh), optimizer)
     state = state._replace(opt_state=replicate(state.opt_state, mesh))
 
-    # compile + warmup
+    # compile + warmup; the float() fetch is a HARD sync (on the remote axon
+    # platform block_until_ready can return before execution completes, so
+    # timed regions must chain state and end with a host value fetch)
     state, metrics = run_k(state, batch)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"][-1])
 
-    times = []
+    t0 = time.perf_counter()
     for _ in range(MEASURE_CALLS):
-        t0 = time.perf_counter()
         state, metrics = run_k(state, batch)
-        jax.block_until_ready(metrics)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2] / STEPS_PER_CALL
+    last_loss = float(metrics["loss"][-1])  # hard sync; depends on every call
+    dt = (time.perf_counter() - t0) / (MEASURE_CALLS * STEPS_PER_CALL)
 
-    assert np.isfinite(np.asarray(metrics["loss"])).all(), "non-finite loss in benchmark"
+    assert np.isfinite(last_loss), "non-finite loss in benchmark"
     pairs_per_sec_per_chip = (B * D) / dt / n_chips
     print(
         json.dumps(

@@ -119,30 +119,45 @@ def residual_block(
     return x + h
 
 
+# remat mode → jax.checkpoint policy. True/'full' recomputes everything
+# (minimum memory); 'dots' saves every matmul output (no matmul recompute,
+# max memory); 'dots_nobatch' excludes the batched attention einsums.
+_REMAT_POLICIES = {
+    "full": lambda: jax.checkpoint_policies.nothing_saveable,
+    "dots": lambda: jax.checkpoint_policies.dots_saveable,
+    "dots_nobatch": lambda: jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+
 def transformer(
     x: jnp.ndarray,
     stacked_params: dict,
     num_heads: int,
     attn_bias: Optional[jnp.ndarray] = None,
-    remat: bool = False,
+    remat=False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Run a stack of residual blocks via lax.scan over the leading L axis.
 
-    With `remat=True` each block is rematerialized in the backward pass
-    (jax.checkpoint) — activation memory drops from O(L·B·S·W) to one layer's
-    worth, the standard TPU HBM/FLOPs trade for large batches.
+    `remat`: False (save all activations), True/'full' (recompute each block
+    in the backward pass — O(one layer) activation memory, the standard TPU
+    HBM/FLOPs trade), or a policy name from `_REMAT_POLICIES` for selective
+    saving.
     """
     block = residual_block
     if remat:
+        mode = "full" if remat is True else str(remat)
+        if mode not in _REMAT_POLICIES:
+            raise ValueError(f"remat mode {mode!r}; options: {list(_REMAT_POLICIES)}")
         block = jax.checkpoint(
-            residual_block, policy=jax.checkpoint_policies.nothing_saveable,
+            residual_block, policy=_REMAT_POLICIES[mode](),
             static_argnums=(2,),
         )
 
     def body(h, layer_params):
         return block(h, layer_params, num_heads, attn_bias), None
 
-    out, _ = jax.lax.scan(body, x, stacked_params)
+    out, _ = jax.lax.scan(body, x, stacked_params, unroll=unroll)
     return out
 
 

@@ -66,8 +66,15 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     Arrays whose leading axis doesn't divide the mesh (e.g. the static
     `index_pos` table) are replicated instead.
+
+    Single-device meshes device_put WITHOUT a sharding: committing inputs to
+    a 1-device NamedSharding forces the SPMD-partitioner compilation pipeline,
+    measured 1.4× slower on bare matmuls and 2.4× on the full train step on
+    this backend (PERFORMANCE.md "GSPMD single-device overhead").
     """
     n = mesh.devices.size
+    if n == 1:
+        return {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
     sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
 
@@ -80,5 +87,9 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params / optimizer state) across the mesh."""
+    """Replicate a pytree (params / optimizer state) across the mesh.
+
+    Single-device meshes skip the sharding commitment (see `shard_batch`)."""
+    if mesh.devices.size == 1:
+        return jax.device_put(tree)
     return jax.device_put(tree, replicated_sharding(mesh))

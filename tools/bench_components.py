@@ -2,45 +2,57 @@
 which variant wins?
 
 Runs a matrix of experiments in ONE process (TPU attach + compile amortized)
-and prints a table. Every timed graph threads a data dependency through a
-lax.scan carry (identical iterations get CSE'd) and consumes the full
-gradient tree (summing one leaf DCEs the rest of the backward) — see
-PERFORMANCE.md "Benchmarking pitfalls".
+and prints a table.
+
+Timing methodology (hard-won, see PERFORMANCE.md):
+  * identical scan iterations get CSE'd — thread a data dependency through
+    the carry;
+  * summing one gradient leaf DCEs the rest of the backward — consume the
+    whole tree;
+  * on the remote axon platform `block_until_ready` does NOT reliably block
+    (dispatches queue; it returns before execution completes), so every
+    timed region CHAINS calls through a carried value and ends with an
+    explicit host fetch (`float(...)`) — queue depth then cannot hide work.
 
 Usage (TPU must be otherwise idle — it is single-client here):
     python tools/bench_components.py                # default experiment set
-    python tools/bench_components.py step text vision matmul
+    python tools/bench_components.py step text vision matmul unroll
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 B = 256
 D = 3
 STEPS = 10
+CALLS = 3
 
 
-def _median_time(fn, *args, calls=3):
-    import jax
+def _bench_chain(make_call, iters_per_call=STEPS, calls=CALLS):
+    """make_call: scalar-carry device value -> scalar-carry device value.
+    Chains `calls` invocations (each internally `iters_per_call` iterations)
+    and syncs once at the end with a host fetch. Returns seconds/iteration."""
+    import jax.numpy as jnp
 
-    out = fn(*args)  # compile + warmup
-    jax.block_until_ready(out)
-    times = []
+    c = make_call(jnp.zeros((), jnp.float32))  # compile + warmup
+    c = jnp.asarray(float(c), jnp.float32)  # hard sync
+    t0 = time.perf_counter()
     for _ in range(calls):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+        c = make_call(c)
+    float(c)  # hard sync
+    return (time.perf_counter() - t0) / (calls * iters_per_call)
 
 
-def _tower_grad_bench(name, cfg, params, batch_x, fwd_fn, steps=STEPS, remat_mode="full"):
-    """Median per-iteration time of value_and_grad(tower loss), K iters fused
-    in one dispatch with a carried data dependency."""
+def _tower_grad_bench(name, params, batch_x, fwd_fn, steps=STEPS):
+    """Per-iteration time of value_and_grad(tower loss), K iters fused in one
+    dispatch, carry-chained across dispatches."""
     import jax
     import jax.numpy as jnp
 
@@ -51,18 +63,17 @@ def _tower_grad_bench(name, cfg, params, batch_x, fwd_fn, steps=STEPS, remat_mod
     grad_fn = jax.value_and_grad(loss)
 
     @jax.jit
-    def many(p, x):
+    def many(p, x, c0):
         def body(carry, _):
             val, grads = grad_fn(p, x, carry)
-            # consume every gradient leaf; fold into the carry
             gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads))
-            return carry + val + gsum * 1e-12, None
+            return carry + val * 1e-6 + gsum * 1e-12, None
 
-        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=steps)
+        c, _ = jax.lax.scan(body, c0, None, length=steps)
         return c
 
-    dt = _median_time(many, params, batch_x) / steps
-    print(f"{name:<44s} {dt * 1e3:8.2f} ms/iter")
+    dt = _bench_chain(lambda c: many(params, batch_x, c), steps)
+    print(f"{name:<44s} {dt * 1e3:8.2f} ms/iter", flush=True)
     return dt
 
 
@@ -78,22 +89,23 @@ def bench_matmul():
         ("peak      [8192,8192]x[8192,8192]", (8192, 8192), (8192, 8192)),
     ]
     rng = np.random.default_rng(0)
+    iters = 50
     for name, sa, sb in shapes:
         a = jnp.asarray(rng.normal(size=sa), jnp.bfloat16)
         b = jnp.asarray(rng.normal(size=sb), jnp.bfloat16)
 
         @jax.jit
-        def many(a, b):
+        def many(a, b, c0):
             def body(c, _):
-                out = jnp.dot(a + c * 1e-9, b, preferred_element_type=jnp.float32)
-                return jnp.mean(out) * 1e-9, None
+                out = jnp.dot(a + c * 1e-12, b, preferred_element_type=jnp.float32)
+                return jnp.mean(out) * 1e-9 + c, None
 
-            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=STEPS)
+            c, _ = jax.lax.scan(body, c0, None, length=iters)
             return c
 
-        dt = _median_time(many, a, b) / STEPS
+        dt = _bench_chain(lambda c, _a=a, _b=b: many(_a, _b, c), iters)
         fl = 2 * sa[0] * sa[1] * sb[1]
-        print(f"{name:<44s} {dt * 1e3:8.3f} ms  {fl / dt / 1e12:7.1f} TF/s")
+        print(f"{name:<44s} {dt * 1e3:8.3f} ms  {fl / dt / 1e12:7.1f} TF/s", flush=True)
 
 
 def _text_inputs(cfg):
@@ -108,7 +120,7 @@ def _image_inputs(cfg):
     return rng.normal(size=(B, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32)
 
 
-def bench_text(variants=("remat", "noremat", "dots", "pallas", "unroll")):
+def bench_text(variants=("remat", "noremat", "dots", "dots_nobatch", "pallas")):
     import jax
     import jax.numpy as jnp
 
@@ -129,20 +141,28 @@ def bench_text(variants=("remat", "noremat", "dots", "pallas", "unroll")):
                 )
             finally:
                 layers.set_attention_impl("xla")
-            return out + c * 0
+            return out * (1 + c * 1e-12)
 
         return fwd
 
-    if "remat" in variants:
-        _tower_grad_bench("text grad, remat=nothing_saveable", cfg, params, tokens, make_fwd(True))
-    if "noremat" in variants:
-        try:
-            _tower_grad_bench("text grad, no remat", cfg, params, tokens, make_fwd(False))
-        except Exception as e:
-            print(f"{'text grad, no remat':<44s} FAILED: {type(e).__name__}")
+    table = {
+        "remat": ("text grad, remat=nothing_saveable", True),
+        "noremat": ("text grad, no remat", False),
+        "dots": ("text grad, remat=dots_saveable", "dots"),
+        "dots_nobatch": ("text grad, remat=dots_nobatch", "dots_nobatch"),
+    }
+    for key, (label, mode) in table.items():
+        if key in variants:
+            try:
+                _tower_grad_bench(label, params, tokens, make_fwd(mode))
+            except Exception as e:
+                print(f"{label:<44s} FAILED: {type(e).__name__}", flush=True)
     if "pallas" in variants:
-        _tower_grad_bench("text grad, remat + pallas attention", cfg, params, tokens,
-                          make_fwd(True, impl="pallas"))
+        try:
+            _tower_grad_bench("text grad, remat + pallas attention", params, tokens,
+                              make_fwd(True, impl="pallas"))
+        except Exception as e:
+            print(f"{'text grad, remat + pallas attention':<44s} FAILED: {type(e).__name__}", flush=True)
 
 
 def bench_vision():
@@ -159,16 +179,20 @@ def bench_vision():
     def make_fwd(remat):
         def fwd(p, x, c):
             return clip_model.encode_image(
-                p, cfg, x + c * 0, compute_dtype=jnp.bfloat16, remat=remat
+                p, cfg, x + c * 1e-12, compute_dtype=jnp.bfloat16, remat=remat
             )
 
         return fwd
 
-    _tower_grad_bench("vision grad, remat", cfg, params, images, make_fwd(True))
-    try:
-        _tower_grad_bench("vision grad, no remat", cfg, params, images, make_fwd(False))
-    except Exception as e:
-        print(f"{'vision grad, no remat':<44s} FAILED: {type(e).__name__}")
+    for label, mode in (
+        ("vision grad, remat", True),
+        ("vision grad, no remat", False),
+        ("vision grad, remat=dots_nobatch", "dots_nobatch"),
+    ):
+        try:
+            _tower_grad_bench(label, params, images, make_fwd(mode))
+        except Exception as e:
+            print(f"{label:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
 def bench_step():
@@ -195,15 +219,123 @@ def bench_step():
     _, run_k = make_multi_step(cfg, optimizer, STEPS, loss_type="ce", overbatch=True,
                                compute_dtype=jnp.bfloat16, remat=True, donate=False)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    state = create_train_state(params, optimizer)
+    state0 = create_train_state(params, optimizer)
 
-    def run(state, batch):
-        s, m = run_k(state, batch)
-        return m["loss"]
+    # chain the state itself; sync once at the end via the step counter
+    holder = {"state": state0}
 
-    dt = _median_time(run, state, batch) / STEPS
+    def call(c):
+        s, m = run_k(holder["state"], batch)
+        holder["state"] = s
+        return m["loss"][-1] + c * 0
+
+    dt = _bench_chain(call, STEPS)
     print(f"{'full train step (remat, bf16, B=256)':<44s} {dt * 1e3:8.2f} ms/step "
-          f"({B * D / dt:,.0f} pairs/s)")
+          f"({B * D / dt:,.0f} pairs/s)", flush=True)
+
+
+def bench_unroll():
+    """scan unroll factor over the text transformer stack (remat on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models import VIT_B32
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    tt = layers.init_transformer(
+        jax.random.PRNGKey(0), cfg.transformer_layers, cfg.transformer_width
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(B * D, cfg.context_length, cfg.transformer_width)),
+        jnp.bfloat16,
+    )
+    bias = layers.causal_mask(cfg.context_length)
+
+    for unroll in (1, 4, 12):
+        def fwd(p, xx, c, _u=unroll):
+            return layers.transformer(
+                xx * (1 + c * 1e-12), p, cfg.transformer_heads, bias, remat=True, unroll=_u
+            )
+
+        try:
+            _tower_grad_bench(f"text stack grad, remat, unroll={unroll}", tt, x, fwd)
+        except Exception as e:
+            print(f"text stack unroll={unroll:<2d} FAILED: {type(e).__name__}", flush=True)
+
+
+def bench_textsplit():
+    """Decompose the text stack: full block vs MLP-only vs attention-only vs
+    LN-free — locates the ~100 ms/iter of non-matmul time."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models import VIT_B32
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    L, W, H = cfg.transformer_layers, cfg.transformer_width, cfg.transformer_heads
+    tt = layers.init_transformer(jax.random.PRNGKey(0), L, W)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B * D, cfg.context_length, W)), jnp.bfloat16)
+    bias = layers.causal_mask(cfg.context_length)
+
+    def scan_stack(block):
+        def fwd(p, xx, c):
+            def body(h, lp):
+                return block(h, lp), None
+
+            out, _ = jax.lax.scan(
+                body,
+                xx * (1 + c * 1e-12),
+                p,
+            )
+            return out
+
+        return fwd
+
+    remat = lambda f: jax.checkpoint(f, policy=jax.checkpoint_policies.nothing_saveable)
+
+    @remat
+    def full_block(h, lp):
+        return layers.residual_block(h, lp, H, bias)
+
+    @remat
+    def mlp_only(h, lp):
+        hh = layers.layer_norm(h, lp["ln_2"])
+        hh = layers.linear(hh, lp["mlp"]["fc_w"], lp["mlp"]["fc_b"])
+        hh = layers.quick_gelu(hh)
+        hh = layers.linear(hh, lp["mlp"]["proj_w"], lp["mlp"]["proj_b"])
+        return h + hh
+
+    @remat
+    def attn_only(h, lp):
+        return h + layers.multi_head_attention(
+            layers.layer_norm(h, lp["ln_1"]), lp["attn"], H, bias
+        )
+
+    @remat
+    def matmuls_only(h, lp):
+        """The block's matmuls with no LN / softmax / gelu — the pure-MXU
+        skeleton (numerically meaningless, shape-identical)."""
+        q = layers.linear(h, lp["attn"]["qkv_w"], lp["attn"]["qkv_b"])
+        q = q[..., :W]
+        q = layers.linear(q, lp["attn"]["out_w"], lp["attn"]["out_b"])
+        hh = layers.linear(h + q, lp["mlp"]["fc_w"], lp["mlp"]["fc_b"])
+        hh = layers.linear(hh, lp["mlp"]["proj_w"], lp["mlp"]["proj_b"])
+        return h + hh
+
+    for name, block in (
+        ("text stack: full block", full_block),
+        ("text stack: mlp half only", mlp_only),
+        ("text stack: attention half only", attn_only),
+        ("text stack: matmul skeleton only", matmuls_only),
+    ):
+        try:
+            _tower_grad_bench(name, tt, x, scan_stack(block))
+        except Exception as e:
+            print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
 EXPERIMENTS = {
@@ -211,6 +343,8 @@ EXPERIMENTS = {
     "step": bench_step,
     "text": bench_text,
     "vision": bench_vision,
+    "unroll": bench_unroll,
+    "textsplit": bench_textsplit,
 }
 
 
@@ -220,7 +354,7 @@ def main():
     names = sys.argv[1:] or ["step", "text", "vision", "matmul"]
     print(f"devices: {jax.devices()}")
     for name in names:
-        print(f"---- {name}")
+        print(f"---- {name}", flush=True)
         EXPERIMENTS[name]()
 
 
