@@ -47,14 +47,47 @@ def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> j
 # Attention implementation switch: "xla" (einsum, default) or "pallas"
 # (fused VMEM-resident kernel, ops.attention_pallas). Set BEFORE tracing the
 # train/eval step — jit caches the traced choice.
+#
+# IMPORTANT: the global is resolved ONCE at the top of `transformer` and then
+# threaded down as an explicit static argument. It must never be read inside
+# a `jax.checkpoint`-wrapped function: checkpoint caches the traced jaxpr
+# keyed on (function, avals, static args), so a hidden global read bakes in
+# whichever impl traced FIRST for every later remat trace in the process —
+# the bug that made the round-1 kernel benchmarks silently measure the XLA
+# graph twice ("exact parity").
 _ATTENTION_IMPL = "xla"
+_ATTENTION_MESH = None  # jax.sharding.Mesh for multi-chip shard_map wrapping
 
 
-def set_attention_impl(impl: str) -> None:
-    global _ATTENTION_IMPL
+def set_attention_impl(impl: str, mesh=None) -> None:
+    """Select the attention implementation (and, for "pallas" on a multi-chip
+    mesh, the mesh to shard_map the kernel over — GSPMD cannot partition a
+    pallas custom call by itself)."""
+    global _ATTENTION_IMPL, _ATTENTION_MESH
     if impl not in ("xla", "pallas"):
         raise ValueError("attention impl must be 'xla' or 'pallas'")
     _ATTENTION_IMPL = impl
+    _ATTENTION_MESH = mesh
+
+
+def _resolve_impl():
+    """The global impl as a hashable static value: "xla" or ("pallas", mesh).
+
+    Under Megatron tensor parallelism (a 'tp' mesh axis of size > 1) the
+    packed-QKV lane layout is sharded across devices, which the kernel's
+    in-VMEM head slicing cannot see — fall back to the einsum path, which
+    GSPMD partitions correctly.
+    """
+    if _ATTENTION_IMPL != "pallas":
+        return "xla"
+    mesh = _ATTENTION_MESH
+    if mesh is not None:
+        tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+        if tp > 1:
+            return "xla"
+        if mesh.devices.size == 1:
+            mesh = None
+    return ("pallas", mesh)
 
 
 def multi_head_attention(
@@ -62,6 +95,7 @@ def multi_head_attention(
     params: dict,
     num_heads: int,
     attn_bias: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Self-attention with packed QKV projection.
 
@@ -70,27 +104,35 @@ def multi_head_attention(
     """
     B, S, W = x.shape
     head_dim = W // num_heads
+    scale = head_dim**-0.5
+    if impl is None:
+        impl = _resolve_impl()
+    kind, mesh = (impl, None) if isinstance(impl, str) else impl
 
     qkv = linear(x, params["qkv_w"], params["qkv_b"])  # [B, S, 3W]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def to_heads(t):
-        return t.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
+    if kind == "pallas":
+        # Fused VMEM-resident attention core: consumes the packed projection
+        # directly (heads sliced inside the kernel), returns the concatenated
+        # [B, S, W] the out-projection wants — no HLO transposes, no
+        # logits/probs HBM round trip.
+        from clip_event_tpu.ops.attention_pallas import (
+            fused_attention_qkv,
+            fused_attention_qkv_sharded,
+        )
+        from clip_event_tpu.parallel.mesh import DATA_AXIS
 
-    q, k, v = to_heads(q), to_heads(k), to_heads(v)
-    scale = head_dim**-0.5
-
-    if _ATTENTION_IMPL == "pallas":
-        from clip_event_tpu.ops.attention_pallas import fused_attention
-
-        out = fused_attention(
-            q.reshape(B * num_heads, S, head_dim),
-            k.reshape(B * num_heads, S, head_dim),
-            v.reshape(B * num_heads, S, head_dim),
-            attn_bias,
-            scale,
-        ).reshape(B, num_heads, S, head_dim)
+        if mesh is not None and DATA_AXIS in mesh.axis_names and B % mesh.devices.size == 0:
+            out = fused_attention_qkv_sharded(qkv, attn_bias, num_heads, scale, mesh, DATA_AXIS)
+        else:
+            out = fused_attention_qkv(qkv, attn_bias, num_heads, scale)
     else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t):
+            return t.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
         )
@@ -100,7 +142,7 @@ def multi_head_attention(
         out = jnp.einsum(
             "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, S, W)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, W)
     return linear(out, params["out_w"], params["out_b"])
 
 
@@ -109,9 +151,12 @@ def residual_block(
     params: dict,
     num_heads: int,
     attn_bias: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Pre-LN transformer block: MHA + QuickGELU MLP, both residual."""
-    x = x + multi_head_attention(layer_norm(x, params["ln_1"]), params["attn"], num_heads, attn_bias)
+    x = x + multi_head_attention(
+        layer_norm(x, params["ln_1"]), params["attn"], num_heads, attn_bias, impl
+    )
     h = layer_norm(x, params["ln_2"])
     h = linear(h, params["mlp"]["fc_w"], params["mlp"]["fc_b"])
     h = quick_gelu(h)
@@ -136,6 +181,7 @@ def transformer(
     attn_bias: Optional[jnp.ndarray] = None,
     remat=False,
     unroll: int = 1,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Run a stack of residual blocks via lax.scan over the leading L axis.
 
@@ -143,7 +189,12 @@ def transformer(
     in the backward pass — O(one layer) activation memory, the standard TPU
     HBM/FLOPs trade), or a policy name from `_REMAT_POLICIES` for selective
     saving.
+
+    The attention impl is resolved HERE (global default) and passed down as a
+    static argument so `jax.checkpoint`'s jaxpr cache is keyed on it.
     """
+    if impl is None:
+        impl = _resolve_impl()
     block = residual_block
     if remat:
         mode = "full" if remat is True else str(remat)
@@ -151,11 +202,11 @@ def transformer(
             raise ValueError(f"remat mode {mode!r}; options: {list(_REMAT_POLICIES)}")
         block = jax.checkpoint(
             residual_block, policy=_REMAT_POLICIES[mode](),
-            static_argnums=(2,),
+            static_argnums=(2, 4),
         )
 
     def body(h, layer_params):
-        return block(h, layer_params, num_heads, attn_bias), None
+        return block(h, layer_params, num_heads, attn_bias, impl), None
 
     out, _ = jax.lax.scan(body, x, stacked_params, unroll=unroll)
     return out

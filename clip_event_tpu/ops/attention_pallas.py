@@ -1,18 +1,26 @@
-"""Fused multi-head attention Pallas kernel for CLIP's short sequences.
+"""Fused attention-core Pallas kernel operating on the packed QKV projection.
 
 CLIP's towers run tiny sequences (text 77, ViT-B/32 grid 50, ViT-L/14 257),
-so the whole (S × S) score matrix of a head-block fits in VMEM — no KV
-streaming needed. The kernel fuses QKᵀ → bias → softmax → ·V into one pass
-(XLA otherwise round-trips the logits and probabilities through HBM), and
-the custom VJP recomputes the probabilities in VMEM instead of saving them.
+so a whole batch-block of the attention computation fits in VMEM. The XLA
+einsum path costs ~3.5 ms/layer-pass on the text tower where ~0.3 ms is
+theoretical (measured, PERFORMANCE.md): 6 physical [B,S,H,D] transposes per
+layer per pass, head_dim-64 tensors padded to the 128-lane tile in HBM, and
+logits/probabilities round-tripping through HBM.
 
-Layout: [BH, S, D] with a grid over blocks of BH (batch·heads); S and D pad
-to the 128-lane tile inside the wrapper, with padded key columns masked by
-an additive -inf bias (padded query rows compute garbage that is sliced
-away; their gradients are zeroed by construction of the cotangent).
+This kernel removes all of that by consuming the packed [B, S, 3W] output of
+the QKV projection *directly* — heads are sliced out of the lane dimension
+inside VMEM, the whole softmax(QKᵀ)·V core runs per batch-block without ever
+leaving VMEM, and the output is written back in the concatenated [B, S, W]
+layout the out-projection consumes. The custom VJP recomputes probabilities
+in VMEM and emits the gradient already packed as [B, S, 3W], so the backward
+pass has no transposes either.
 
-Used by `models.layers.multi_head_attention(..., use_pallas=True)`; numerics
-match the jnp path at f32 tolerance (see tests/test_attention_pallas.py).
+Reference behavior: torch's nn.MultiheadAttention as used by
+`model_clip.py:188-200` (reference CLIP residual blocks); numerics match the
+jnp einsum path (tests/test_attention_pallas.py).
+
+Used by `models.layers.multi_head_attention` when the attention impl is set
+to "pallas" (`use_pallas_attention` in the config).
 """
 
 from __future__ import annotations
@@ -24,133 +32,190 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANE = 128
-NEG_INF = -1e30
+# batched dot_general helpers over a leading batch axis
+_QKT = (((2,), (2,)), ((0,), (0,)))  # [N,S,D]·[N,S,D]  → [N,S,S]
+_PV = (((2,), (1,)), ((0,), (0,)))  # [N,S,S]·[N,S,D]  → [N,S,D]
+_PT_DO = (((1,), (1,)), ((0,), (0,)))  # [N,S,S]ᵀ·[N,S,D] → [N,S,D]
+
+
+def _split_heads(qkv, num_heads, width):
+    """[TB, S, 3W] → q, k, v each [H*TB, S, D], heads stacked on the batch
+    axis (one batched dot_general instead of a per-head loop)."""
+    tb, s, _ = qkv.shape
+    head_dim = width // num_heads
+    qs, ks, vs = [], [], []
+    for h in range(num_heads):
+        off = h * head_dim
+        qs.append(qkv[:, :, off : off + head_dim])
+        ks.append(qkv[:, :, width + off : width + off + head_dim])
+        vs.append(qkv[:, :, 2 * width + off : 2 * width + off + head_dim])
+    stack = lambda ts: jnp.concatenate([t[None] for t in ts], 0).reshape(
+        num_heads * tb, s, head_dim
+    )
+    return stack(qs), stack(ks), stack(vs)
+
+
+def _merge_heads(out, num_heads, tb):
+    """[H*TB, S, D] → [TB, S, W] (concatenate heads back along lanes)."""
+    hs = out.reshape(num_heads, tb, out.shape[1], out.shape[2])
+    return jnp.concatenate([hs[h] for h in range(num_heads)], axis=-1)
+
+
+def _probs(q, k, bias, scale):
+    """softmax(q·kᵀ·scale + bias) in float32. q/k: [N, S, D]; bias [S, S]."""
+    logits = jax.lax.dot_general(q * scale, k, _QKT, preferred_element_type=jnp.float32)
+    logits = logits + bias[None]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(qkv_ref, bias_ref, o_ref, *, num_heads, width, scale):
+    qkv = qkv_ref[...].astype(jnp.float32)  # [TB, S, 3W]
+    q, k, v = _split_heads(qkv, num_heads, width)
+    p = _probs(q, k, bias_ref[...], scale)
+    out = jax.lax.dot_general(p, v, _PV, preferred_element_type=jnp.float32)
+    o_ref[...] = _merge_heads(out, num_heads, qkv.shape[0]).astype(o_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, bias_ref, do_ref, dqkv_ref, *, num_heads, width, scale):
+    tb = qkv_ref.shape[0]
+    qkv = qkv_ref[...].astype(jnp.float32)
+    q, k, v = _split_heads(qkv, num_heads, width)
+    # cotangent per head: [TB, S, W] sliced exactly like the q lanes
+    g = do_ref[...].astype(jnp.float32)
+    head_dim = width // num_heads
+    gs = [g[:, :, h * head_dim : (h + 1) * head_dim] for h in range(num_heads)]
+    do = jnp.concatenate([t[None] for t in gs], 0).reshape(num_heads * tb, -1, head_dim)
+
+    p = _probs(q, k, bias_ref[...], scale)
+    dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, _QKT, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32) * scale
+
+    merge = lambda t: _merge_heads(t, num_heads, tb)
+    dqkv_ref[...] = jnp.concatenate([merge(dq), merge(dk), merge(dv)], axis=-1).astype(
+        dqkv_ref.dtype
+    )
+
+
+def _pick_block_b(batch: int, seq_len: int, width: int, num_heads: int) -> int:
+    """Largest batch-block whose working set fits comfortably in VMEM.
+
+    Budget ≈ double-buffered bf16 qkv in + out, f32 per-head copies and the
+    [H·TB, S, S] probability tensor. ~10 MB target of the 16 MB VMEM.
+    """
+    sp = _round_up(seq_len, 128)  # lane padding of the probability tensor
+    for tb in (32, 16, 8, 4, 2, 1):
+        bytes_io = 2 * (tb * seq_len * 3 * width * 2) + 2 * (tb * seq_len * width * 2)
+        bytes_f32 = 4 * (4 * tb * seq_len * 3 * width + 2 * tb * seq_len * sp * num_heads)
+        if bytes_io + bytes_f32 < 10 * 1024 * 1024:
+            return min(tb, batch)
+    return 1
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# batched dot_general helpers over the leading block-of-heads axis
-_QKT = (((2,), (2,)), ((0,), (0,)))  # [T,S,D]·[T,S,D] → [T,S,S]
-_PV = (((2,), (1,)), ((0,), (0,)))  # [T,S,S]·[T,S,D] → [T,S,D]
-_PT_DO = (((1,), (1,)), ((0,), (0,)))  # [T,S,S]ᵀ·[T,S,D] → [T,S,D]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_attention_qkv(qkv, bias, num_heads, scale, interpret=False):
+    """Multi-head softmax attention over a packed QKV projection.
 
-
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[...].astype(jnp.float32)  # [T, S, D]
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    logits = jax.lax.dot_general(q * scale, k, _QKT, preferred_element_type=jnp.float32)
-    logits = logits + bias_ref[...][None]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(p, v, _PV, preferred_element_type=jnp.float32) / denom
-    o_ref[...] = out.astype(o_ref.dtype)
-
-
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[...].astype(jnp.float32)  # [T, S, D]
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    do = do_ref[...].astype(jnp.float32)
-
-    logits = jax.lax.dot_general(q * scale, k, _QKT, preferred_element_type=jnp.float32)
-    logits = logits + bias_ref[...][None]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [T, S, S]
-
-    dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, _QKT, preferred_element_type=jnp.float32)  # [T,S,S]
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32) * scale
-
-    dq_ref[...] = dq.astype(dq_ref.dtype)
-    dk_ref[...] = dk.astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
-
-
-BLOCK_BH = 16  # heads×batch rows per grid program (amortizes program overhead)
-
-
-def _pad_operands(q, k, v, bias, seq_len, head_dim, block_bh):
-    sp = _round_up(seq_len, _LANE)
-    dp = _round_up(head_dim, _LANE)
-    bh = q.shape[0]
-    bhp = _round_up(bh, block_bh)
-    pad = [(0, bhp - bh), (0, sp - seq_len), (0, dp - head_dim)]
-    qp = jnp.pad(q, pad)
-    kp = jnp.pad(k, pad)
-    vp = jnp.pad(v, pad)
-    # mask padded key columns with -inf; padded query rows are sliced off
-    biasp = jnp.full((sp, sp), NEG_INF, jnp.float32)
-    base = jnp.zeros((seq_len, seq_len), jnp.float32) if bias is None else bias.astype(jnp.float32)
-    biasp = biasp.at[:seq_len, :seq_len].set(base)
-    return qp, kp, vp, biasp, sp, dp
-
-
-def _specs(block_bh, sp, dp):
-    spec = pl.BlockSpec((block_bh, sp, dp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((sp, sp), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    return spec, bias_spec
-
-
-def _call(kernel, outs, qp, kp, vp, biasp, sp, dp, interpret, block_bh):
-    spec, bias_spec = _specs(block_bh, sp, dp)
-    return pl.pallas_call(
-        kernel,
-        grid=(qp.shape[0] // block_bh,),
-        in_specs=[spec, spec, spec, bias_spec],
-        out_specs=[spec] * len(outs) if len(outs) > 1 else spec,
-        out_shape=outs if len(outs) > 1 else outs[0],
-        interpret=interpret,
-    )(qp, kp, vp, biasp)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_attention(q, k, v, bias, scale, interpret=False):
-    """softmax(q·kᵀ·scale + bias)·v, fused. q/k/v: [BH, S, D]; bias: [S, S]
-    or None. Returns [BH, S, D] in q.dtype."""
-    out, _ = _fused_attention_fwd(q, k, v, bias, scale, interpret)
+    qkv: [B, S, 3W] (the raw output of the fused QKV matmul, heads laid out
+    as torch/CLIP: q lanes [0, W), k [W, 2W), v [2W, 3W), head h at
+    [h·D, (h+1)·D) within each). bias: additive [S, S] float mask or None.
+    Returns [B, S, W] — head outputs concatenated, ready for the
+    out-projection — in qkv.dtype.
+    """
+    out, _ = _fused_qkv_fwd(qkv, bias, num_heads, scale, interpret)
     return out
 
 
-def _fused_attention_fwd(q, k, v, bias, scale, interpret):
-    BH, S, D = q.shape
-    block_bh = min(BLOCK_BH, BH)
-    qp, kp, vp, biasp, sp, dp = _pad_operands(q, k, v, bias, S, D, block_bh)
-    kernel = functools.partial(_fwd_kernel, scale=scale)
-    outp = _call(
-        kernel, [jax.ShapeDtypeStruct(qp.shape, q.dtype)], qp, kp, vp, biasp, sp, dp,
-        interpret, block_bh,
-    )
-    return outp[:BH, :S, :D], (q, k, v, bias)
+def _prep(qkv, bias, num_heads):
+    B, S, W3 = qkv.shape
+    width = W3 // 3
+    tb = _pick_block_b(B, S, width, num_heads)
+    if width % num_heads:
+        raise ValueError(f"width {width} not divisible by num_heads {num_heads}")
+    bp = _round_up(B, tb)
+    if bp != B:
+        qkv = jnp.pad(qkv, [(0, bp - B), (0, 0), (0, 0)])
+    b = jnp.zeros((S, S), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    return qkv, b, width, tb
 
 
-def _fused_attention_bwd(scale, interpret, residuals, g):
-    q, k, v, bias = residuals
-    BH, S, D = q.shape
-    block_bh = min(BLOCK_BH, BH)
-    qp, kp, vp, biasp, sp, dp = _pad_operands(q, k, v, bias, S, D, block_bh)
-    gp = jnp.pad(g, [(0, qp.shape[0] - BH), (0, sp - S), (0, dp - D)])
-    kernel = functools.partial(_bwd_kernel, scale=scale)
-    spec, bias_spec = _specs(block_bh, sp, dp)
-    dq, dk, dv = pl.pallas_call(
+def _interpret_here(interpret: bool) -> bool:
+    """Mosaic only targets TPU; fall back to interpret mode elsewhere so the
+    pallas impl works on the virtual-CPU test/dryrun meshes."""
+    return interpret or jax.default_backend() != "tpu"
+
+
+def _fused_qkv_fwd(qkv, bias, num_heads, scale, interpret):
+    interpret = _interpret_here(interpret)
+    B, S, _ = qkv.shape
+    qp, b, width, tb = _prep(qkv, bias, num_heads)
+    kernel = functools.partial(_fwd_kernel, num_heads=num_heads, width=width, scale=scale)
+    out = pl.pallas_call(
         kernel,
-        grid=(qp.shape[0] // block_bh,),
-        in_specs=[spec, spec, spec, bias_spec, spec],
-        out_specs=[spec, spec, spec],
-        out_shape=[jax.ShapeDtypeStruct(qp.shape, q.dtype)] * 3,
+        grid=(qp.shape[0] // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, S, 3 * width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, S, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], S, width), qkv.dtype),
         interpret=interpret,
-    )(qp, kp, vp, biasp, gp)
-    dq = dq[:BH, :S, :D]
-    dk = dk[:BH, :S, :D]
-    dv = dv[:BH, :S, :D]
-    return dq, dk, dv, None
+    )(qp, b)
+    return out[:B], (qkv, bias)
 
 
-fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+def _fused_qkv_bwd(num_heads, scale, interpret, residuals, g):
+    interpret = _interpret_here(interpret)
+    qkv, bias = residuals
+    B, S, _ = qkv.shape
+    qp, b, width, tb = _prep(qkv, bias, num_heads)
+    gp = jnp.pad(g, [(0, qp.shape[0] - B), (0, 0), (0, 0)]) if qp.shape[0] != B else g
+    kernel = functools.partial(_bwd_kernel, num_heads=num_heads, width=width, scale=scale)
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(qp.shape[0] // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, S, 3 * width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, S, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, S, 3 * width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], S, 3 * width), qkv.dtype),
+        interpret=interpret,
+    )(qp, b, gp)
+    return dqkv[:B], None
+
+
+fused_attention_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def fused_attention_qkv_sharded(qkv, bias, num_heads, scale, mesh, axis):
+    """Batch-sharded kernel invocation for multi-chip meshes.
+
+    GSPMD cannot partition a pallas custom call — left alone it replicates
+    the operands (an all-gather of the whole batch). Attention is
+    embarrassingly parallel over B, so wrap the call in `shard_map` over the
+    data axis: each device runs the kernel on its local batch shard, no
+    collectives.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis, None, None)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes info
+    if bias is None:
+        return jax.shard_map(
+            lambda q: fused_attention_qkv(q, None, num_heads, scale),
+            mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False,
+        )(qkv)
+    return jax.shard_map(
+        lambda q, b: fused_attention_qkv(q, b, num_heads, scale),
+        mesh=mesh, in_specs=(spec, P(None, None)), out_specs=spec, check_vma=False,
+    )(qkv, bias)

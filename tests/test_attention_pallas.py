@@ -1,4 +1,7 @@
-"""Fused Pallas attention vs the jnp reference path (interpret on CPU)."""
+"""Fused packed-QKV Pallas attention vs the jnp reference path (interpret
+mode on CPU). The kernel consumes [B, S, 3W] and returns the concatenated
+[B, S, W] head outputs; the reference below is the exact split/transpose
+einsum formulation the XLA path uses."""
 
 import numpy as np
 import pytest
@@ -7,94 +10,174 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from clip_event_tpu.models import layers as L  # noqa: E402
-from clip_event_tpu.ops.attention_pallas import fused_attention  # noqa: E402
+from clip_event_tpu.ops.attention_pallas import fused_attention_qkv  # noqa: E402
 
 
-def _ref_attention(q, k, v, bias, scale):
-    logits = jnp.einsum("bqd,bkd->bqk", q * scale, k)
+def _ref_attention_qkv(qkv, bias, num_heads, scale):
+    B, S, W3 = qkv.shape
+    W = W3 // 3
+    D = W // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to_heads = lambda t: t.reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
+    q, k, v = to_heads(q), to_heads(k), to_heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
     if bias is not None:
         logits = logits + bias
     p = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bqk,bkd->bqd", p, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3).reshape(B, S, W)
 
 
-@pytest.mark.parametrize("S,D", [(77, 64), (50, 64), (16, 32)])
-def test_forward_matches_reference(S, D):
+@pytest.mark.parametrize("B,S,W,H", [(3, 77, 128, 2), (2, 50, 192, 3), (5, 16, 64, 1)])
+def test_forward_matches_reference(B, S, W, H):
     rng = np.random.default_rng(0)
-    BH = 6
-    q = rng.normal(size=(BH, S, D)).astype(np.float32)
-    k = rng.normal(size=(BH, S, D)).astype(np.float32)
-    v = rng.normal(size=(BH, S, D)).astype(np.float32)
-    scale = D**-0.5
-    ref = np.asarray(_ref_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), None, scale))
-    ours = np.asarray(fused_attention(q, k, v, None, scale, True))
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * W)).astype(np.float32))
+    scale = (W // H) ** -0.5
+    ref = np.asarray(_ref_attention_qkv(qkv, None, H, scale))
+    ours = np.asarray(fused_attention_qkv(qkv, None, H, scale, True))
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
 
 
 def test_forward_with_causal_bias():
     rng = np.random.default_rng(1)
-    BH, S, D = 4, 77, 64
-    q = rng.normal(size=(BH, S, D)).astype(np.float32)
-    k = rng.normal(size=(BH, S, D)).astype(np.float32)
-    v = rng.normal(size=(BH, S, D)).astype(np.float32)
-    bias = np.asarray(L.causal_mask(S))
-    scale = D**-0.5
-    ref = np.asarray(_ref_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias), scale))
-    ours = np.asarray(fused_attention(q, k, v, jnp.asarray(bias), scale, True))
+    B, S, W, H = 4, 77, 128, 4
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * W)).astype(np.float32))
+    bias = jnp.asarray(np.asarray(L.causal_mask(S)))
+    scale = (W // H) ** -0.5
+    ref = np.asarray(_ref_attention_qkv(qkv, bias, H, scale))
+    ours = np.asarray(fused_attention_qkv(qkv, bias, H, scale, True))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_batch_not_divisible_by_block():
+    """Odd batch sizes pad up to the block size inside the wrapper."""
+    rng = np.random.default_rng(4)
+    B, S, W, H = 7, 23, 64, 2
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * W)).astype(np.float32))
+    scale = (W // H) ** -0.5
+    ref = np.asarray(_ref_attention_qkv(qkv, None, H, scale))
+    ours = np.asarray(fused_attention_qkv(qkv, None, H, scale, True))
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
 
 
 def test_gradients_match_reference():
     rng = np.random.default_rng(2)
-    BH, S, D = 3, 50, 32
-    q = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    B, S, W, H = 3, 50, 96, 3
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * W)).astype(np.float32))
     bias = jnp.asarray(np.asarray(L.causal_mask(S)))
-    scale = D**-0.5
-    w = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    scale = (W // H) ** -0.5
+    w = jnp.asarray(rng.normal(size=(B, S, W)).astype(np.float32))
 
-    def loss_ref(q, k, v):
-        return jnp.sum(_ref_attention(q, k, v, bias, scale) * w)
+    def loss_ref(qkv):
+        return jnp.sum(_ref_attention_qkv(qkv, bias, H, scale) * w)
 
-    def loss_ours(q, k, v):
-        return jnp.sum(fused_attention(q, k, v, bias, scale, True) * w)
+    def loss_ours(qkv):
+        return jnp.sum(fused_attention_qkv(qkv, bias, H, scale, True) * w)
 
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    g_ours = jax.grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g_ours, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+    g_ref = jax.grad(loss_ref)(qkv)
+    g_ours = jax.grad(loss_ours)(qkv)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=1e-4, rtol=1e-4)
+
+
+def test_remat_cache_keyed_on_impl():
+    """jax.checkpoint caches traced jaxprs keyed on (fn, avals, static args).
+    The impl must be a static argument — when it was read as a hidden global
+    inside the checkpointed block, whichever impl traced FIRST was silently
+    baked into every later remat trace (the round-1 'exact parity' bug)."""
+    rng = np.random.default_rng(5)
+    W, H, S = 64, 2, 16
+    tt = L.init_transformer(jax.random.PRNGKey(0), 2, W)
+    x = jnp.asarray(rng.normal(size=(2, S, W)).astype(np.float32))
+    bias = L.causal_mask(S)
+
+    def build(impl):
+        def f(p, xx):
+            out = L.transformer(xx, p, H, bias, remat=True, impl=impl)
+            return jnp.sum(out**2)
+
+        return jax.jit(jax.grad(f, argnums=1)).lower(tt, x).as_text()
+
+    hlo_xla = build("xla")  # traces (and caches) the xla remat jaxpr FIRST
+    hlo_pallas = build(("pallas", None))
+    # the buggy global-read version returned the SAME (cached xla) graph here
+    assert hlo_xla != hlo_pallas
+    # and the cache keying must be stable in both directions
+    assert build("xla") == hlo_xla
+
+
+def test_sharded_train_step_matches_xla():
+    """Full train step on the 8-device dp mesh: the shard_map-wrapped kernel
+    path must produce the same loss and params as the einsum path (GSPMD
+    alone would replicate the pallas custom call)."""
+    import jax.numpy as jnp
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_train_step
+    from clip_event_tpu.models import CLIPConfig, init_params
+    from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    cfg = CLIPConfig(64, 32, 2, 64, 16, 16, 512, 64, 2, 2)
+    rng = np.random.default_rng(0)
+    B = 8
+    layout = build_label_layout(B, 1, 1, "ce", True)
+    text = rng.integers(1, 500, size=(B * 2, 16)).astype(np.int32)
+    text[:, -1] = 511
+    batch = {
+        "image": rng.normal(size=(B, 32, 32, 3)).astype(np.float32),
+        "text": text,
+        "labels_per_image": layout.labels_per_image,
+        "labels_per_text": layout.labels_per_text,
+        "index_pos": layout.index_pos,
+    }
+    opt = build_optimizer("adam", build_schedule("none", 1e-3, 2))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8)
+
+    results = {}
+    for impl in ("xla", "pallas"):
+        L.set_attention_impl(impl, mesh if impl == "pallas" else None)
+        try:
+            step = make_train_step(cfg, opt, loss_type="ce", donate=False)
+            state = create_train_state(replicate(params, mesh), opt)
+            state = state._replace(opt_state=replicate(state.opt_state, mesh))
+            s2, m = step(state, shard_batch(batch, mesh))
+            results[impl] = (float(m["loss"]), np.asarray(jax.tree.leaves(s2.params)[0]))
+        finally:
+            L.set_attention_impl("xla")
+    assert np.isclose(results["xla"][0], results["pallas"][0], atol=1e-5)
+    np.testing.assert_allclose(results["xla"][1], results["pallas"][1], atol=1e-5)
 
 
 def test_mha_layer_pallas_matches_xla():
+    """The full multi_head_attention layer agrees between impls, including
+    the packed-QKV lane layout handed to the kernel."""
     rng = np.random.default_rng(3)
     B, S, W, H = 2, 16, 64, 2
     x = jnp.asarray(rng.normal(size=(B, S, W)).astype(np.float32))
     params = {
         "qkv_w": jnp.asarray(rng.normal(size=(W, 3 * W)).astype(np.float32) * 0.05),
-        "qkv_b": jnp.zeros(3 * W),
+        "qkv_b": jnp.asarray(rng.normal(size=(3 * W,)).astype(np.float32) * 0.05),
         "out_w": jnp.asarray(rng.normal(size=(W, W)).astype(np.float32) * 0.05),
         "out_b": jnp.zeros(W),
     }
     bias = L.causal_mask(S)
     ref = np.asarray(L.multi_head_attention(x, params, H, bias))
+
+    from clip_event_tpu.ops import attention_pallas
+
+    orig = attention_pallas.fused_attention_qkv
+
+    def patched(qkv, b, h, scale, interpret=False):
+        return orig(qkv, b, h, scale, True)  # interpret mode on CPU
+
     L.set_attention_impl("pallas")
+    attention_pallas.fused_attention_qkv = patched
     try:
-        from clip_event_tpu.ops import attention_pallas
-
-        # interpret mode on CPU
-        orig = attention_pallas.fused_attention
-        ours = None
-        import functools
-
-        def patched(q, k, v, b, scale, interpret=False):
-            return orig(q, k, v, b, scale, True)
-
-        attention_pallas.fused_attention = patched
-        try:
-            ours = np.asarray(L.multi_head_attention(x, params, H, bias))
-        finally:
-            attention_pallas.fused_attention = orig
+        ours = np.asarray(L.multi_head_attention(x, params, H, bias))
     finally:
+        attention_pallas.fused_attention_qkv = orig
         L.set_attention_impl("xla")
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)

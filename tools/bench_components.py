@@ -132,15 +132,11 @@ def bench_text(variants=("remat", "noremat", "dots", "dots_nobatch", "pallas")):
     params = init_params(jax.random.PRNGKey(0), cfg)
     tokens = jnp.asarray(_text_inputs(cfg))
 
-    def make_fwd(remat, impl="xla"):
+    def make_fwd(remat):
         def fwd(p, x, c):
-            layers.set_attention_impl(impl)
-            try:
-                out = clip_model.encode_text(
-                    p, cfg, x, compute_dtype=jnp.bfloat16, remat=remat
-                )
-            finally:
-                layers.set_attention_impl("xla")
+            out = clip_model.encode_text(
+                p, cfg, x, compute_dtype=jnp.bfloat16, remat=remat
+            )
             return out * (1 + c * 1e-12)
 
         return fwd
@@ -158,11 +154,17 @@ def bench_text(variants=("remat", "noremat", "dots", "dots_nobatch", "pallas")):
             except Exception as e:
                 print(f"{label:<44s} FAILED: {type(e).__name__}", flush=True)
     if "pallas" in variants:
+        # The impl switch must cover BOTH the forward trace and jax.checkpoint's
+        # backward recompute re-trace (which happens after fwd returns) — set it
+        # for the whole bench, never inside the traced function.
+        layers.set_attention_impl("pallas")
         try:
             _tower_grad_bench("text grad, remat + pallas attention", params, tokens,
-                              make_fwd(True, impl="pallas"))
+                              make_fwd(True))
         except Exception as e:
             print(f"{'text grad, remat + pallas attention':<44s} FAILED: {type(e).__name__}", flush=True)
+        finally:
+            layers.set_attention_impl("xla")
 
 
 def bench_vision():
@@ -195,8 +197,8 @@ def bench_vision():
             print(f"{label:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
-def bench_step():
-    """Full train step (the bench.py configuration) for reference."""
+def bench_step(impls=("xla", "pallas")):
+    """Full train step (the bench.py configuration), per attention impl."""
     import jax
     import jax.numpy as jnp
 
@@ -204,6 +206,7 @@ def bench_step():
     from clip_event_tpu.engine.optim import build_optimizer, build_schedule
     from clip_event_tpu.engine.train_step import create_train_state, make_multi_step
     from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
 
     cfg = VIT_B32
     layout = build_label_layout(B, 1, D - 1, "ce", True)
@@ -216,22 +219,32 @@ def bench_step():
     }
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
-    _, run_k = make_multi_step(cfg, optimizer, STEPS, loss_type="ce", overbatch=True,
-                               compute_dtype=jnp.bfloat16, remat=True, donate=False)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    state0 = create_train_state(params, optimizer)
 
-    # chain the state itself; sync once at the end via the step counter
-    holder = {"state": state0}
+    for impl in impls:
+        layers.set_attention_impl(impl)
+        try:
+            _, run_k = make_multi_step(cfg, optimizer, STEPS, loss_type="ce",
+                                       overbatch=True, compute_dtype=jnp.bfloat16,
+                                       remat=True, donate=False)
+            state0 = create_train_state(params, optimizer)
 
-    def call(c):
-        s, m = run_k(holder["state"], batch)
-        holder["state"] = s
-        return m["loss"][-1] + c * 0
+            # chain the state itself; sync once at the end via the step counter
+            holder = {"state": state0}
 
-    dt = _bench_chain(call, STEPS)
-    print(f"{'full train step (remat, bf16, B=256)':<44s} {dt * 1e3:8.2f} ms/step "
-          f"({B * D / dt:,.0f} pairs/s)", flush=True)
+            def call(c):
+                s, m = run_k(holder["state"], batch)
+                holder["state"] = s
+                return m["loss"][-1] + c * 0
+
+            dt = _bench_chain(call, STEPS)
+            label = f"full train step (remat, bf16, B=256, {impl})"
+            print(f"{label:<44s} {dt * 1e3:8.2f} ms/step "
+                  f"({B * D / dt:,.0f} pairs/s)", flush=True)
+        except Exception as e:
+            print(f"full train step ({impl}) FAILED: {type(e).__name__}: {e}", flush=True)
+        finally:
+            layers.set_attention_impl("xla")
 
 
 def bench_unroll():

@@ -157,10 +157,6 @@ def main():
         grad_clip_norm=cfg["grad_clip_norm"],
     )
     compute_dtype = jnp.bfloat16 if cfg["compute_dtype"] == "bfloat16" else jnp.float32
-    if cfg["use_pallas_attention"]:
-        from clip_event_tpu.models.layers import set_attention_impl
-
-        set_attention_impl("pallas")
     if cfg["sync_bn"] and not mcfg.is_vit:
         # batch-stats BN; global under the dp mesh = SyncBN (train.py:219-220)
         from clip_event_tpu.models.resnet import set_bn_mode
@@ -209,6 +205,12 @@ def main():
         log.info("=> restored params/opt_state (step %d)", resume_step)
 
     mesh = make_mesh()
+    if cfg["use_pallas_attention"]:
+        # set BEFORE the first step trace; the mesh lets the kernel shard_map
+        # over dp on multi-chip meshes (GSPMD can't partition a custom call)
+        from clip_event_tpu.models.layers import set_attention_impl
+
+        set_attention_impl("pallas", mesh)
     state = create_train_state(replicate(params, mesh), optimizer)
     state = state._replace(opt_state=replicate(state.opt_state, mesh))
     if resume_opt_state is not None:
