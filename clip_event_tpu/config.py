@@ -7,8 +7,9 @@ kl↔overbatch, alignment⇒object+IE channels), and defaults for every
 optional key. New TPU-specific keys are additive and default sensibly:
 
   compute_dtype          'float32' | 'bfloat16'      (default bfloat16)
-  remat                  bool                        (default true)
+  remat                  bool | 'full'|'dots'|'dots_nobatch'|'attn'  (default true)
   use_pallas_ot          bool                        (default false)
+  use_pallas_attention   bool                        (default true)
   num_workers            host loader threads         (default 8)
   max_objects/max_entities/max_events  static-shape caps
   steps_per_epoch_schedule  bool — true reproduces the reference's

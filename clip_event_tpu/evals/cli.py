@@ -48,6 +48,12 @@ def run(description: str, evaluate) -> None:
     args = build_parser(description).parse_args()
     with open(args.cfg) as fh:
         cfg = json.load(fh)
+    if cfg.get("use_pallas_attention", True):
+        # same flagship attention path as training (PERFORMANCE.md); evals
+        # run single-chip jit, so no mesh is needed
+        from clip_event_tpu.models.layers import set_attention_impl
+
+        set_attention_impl("pallas")
     params, mcfg = load_model_from_cfg(cfg)
     metrics = evaluate(cfg, params, mcfg)
     print(json.dumps(metrics, indent=2))

@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def layer_norm(x: jnp.ndarray, params: dict, eps: float = 1e-5) -> jnp.ndarray:
@@ -126,6 +127,7 @@ def multi_head_attention(
             out = fused_attention_qkv_sharded(qkv, attn_bias, num_heads, scale, mesh, DATA_AXIS)
         else:
             out = fused_attention_qkv(qkv, attn_bias, num_heads, scale)
+        out = checkpoint_name(out, "attn_core_out")
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -143,6 +145,7 @@ def multi_head_attention(
             "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, W)
+        out = checkpoint_name(out, "attn_core_out")
     return linear(out, params["out_w"], params["out_b"])
 
 
@@ -166,11 +169,14 @@ def residual_block(
 
 # remat mode → jax.checkpoint policy. True/'full' recomputes everything
 # (minimum memory); 'dots' saves every matmul output (no matmul recompute,
-# max memory); 'dots_nobatch' excludes the batched attention einsums.
+# max memory); 'dots_nobatch' excludes the batched attention einsums;
+# 'attn' saves only each block's attention-core output ([B, S, W] per layer
+# — small) so the backward never re-runs the attention forward.
 _REMAT_POLICIES = {
     "full": lambda: jax.checkpoint_policies.nothing_saveable,
     "dots": lambda: jax.checkpoint_policies.dots_saveable,
     "dots_nobatch": lambda: jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    "attn": lambda: jax.checkpoint_policies.save_only_these_names("attn_core_out"),
 }
 
 

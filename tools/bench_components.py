@@ -159,10 +159,15 @@ def bench_text(variants=("remat", "noremat", "dots", "dots_nobatch", "pallas")):
         # for the whole bench, never inside the traced function.
         layers.set_attention_impl("pallas")
         try:
-            _tower_grad_bench("text grad, remat + pallas attention", params, tokens,
-                              make_fwd(True))
-        except Exception as e:
-            print(f"{'text grad, remat + pallas attention':<44s} FAILED: {type(e).__name__}", flush=True)
+            for label, mode in (
+                ("text grad, remat + pallas attention", True),
+                ("text grad, remat=attn + pallas", "attn"),
+                ("text grad, no remat + pallas", False),
+            ):
+                try:
+                    _tower_grad_bench(label, params, tokens, make_fwd(mode))
+                except Exception as e:
+                    print(f"{label:<44s} FAILED: {type(e).__name__}", flush=True)
         finally:
             layers.set_attention_impl("xla")
 
@@ -351,6 +356,45 @@ def bench_textsplit():
             print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
+def bench_ot():
+    """IPOT solver: XLA lax.scan loop vs the fused Pallas kernel, at the
+    alignment-config shapes (B images, max_entities=16 text nodes, top-10
+    object nodes; `config.py` caps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.ops.ot import optimal_transport_dist
+
+    rng = np.random.default_rng(0)
+    M, N, E = 16, 10, 512
+    txt = jnp.asarray(rng.normal(size=(B, M, E)), jnp.float32)
+    img = jnp.asarray(rng.normal(size=(B, N, E)), jnp.float32)
+    txt_pad = jnp.asarray(rng.random((B, M)) < 0.3).at[:, 0].set(False)
+    img_pad = jnp.asarray(rng.random((B, N)) < 0.3).at[:, 0].set(False)
+
+    for name, use_pallas in (
+        ("ipot dist fwd, xla scan", False),
+        ("ipot dist fwd, pallas", True),
+    ):
+        @jax.jit
+        def many(t, i, c0, _up=use_pallas):
+            def body(c, _):
+                d = optimal_transport_dist(
+                    t * (1 + c * 1e-12), i, txt_pad, img_pad,
+                    safe=True, use_pallas=_up,
+                )
+                return c + jnp.sum(d) * 1e-9, None
+
+            c, _ = jax.lax.scan(body, c0, None, length=STEPS)
+            return c
+
+        try:
+            dt = _bench_chain(lambda c: many(txt, img, c), STEPS)
+            print(f"{name:<44s} {dt * 1e3:8.2f} ms/iter", flush=True)
+        except Exception as e:
+            print(f"{name:<44s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
 EXPERIMENTS = {
     "matmul": bench_matmul,
     "step": bench_step,
@@ -358,6 +402,7 @@ EXPERIMENTS = {
     "vision": bench_vision,
     "unroll": bench_unroll,
     "textsplit": bench_textsplit,
+    "ot": bench_ot,
 }
 
 
