@@ -8,7 +8,8 @@ optional key. New TPU-specific keys are additive and default sensibly:
 
   compute_dtype          'float32' | 'bfloat16'      (default bfloat16)
   remat                  bool | 'full'|'dots'|'dots_nobatch'|'attn'  (default true)
-  use_pallas_ot          bool                        (default false)
+  use_pallas_ot          bool | 'auto'               (default auto: fused
+                         kernel once node caps ≥ 32, XLA scan below)
   use_pallas_attention   bool                        (default true)
   num_workers            host loader threads         (default 8)
   max_objects/max_entities/max_events  static-shape caps
@@ -71,7 +72,7 @@ _DEFAULTS: Dict[str, Any] = {
     "model": "ViT-B/32",
     "compute_dtype": "bfloat16",
     "remat": True,
-    "use_pallas_ot": False,
+    "use_pallas_ot": "auto",
     # fused packed-QKV attention kernel: 339→239 ms/step on ViT-B/32 B=256
     # (PERFORMANCE.md); falls back to the XLA einsum path under tp>1 meshes
     "use_pallas_attention": True,
@@ -155,9 +156,24 @@ def load_config(path: str) -> Dict[str, Any]:
 
 def model_config(cfg: Dict[str, Any]):
     """Resolve the model spec: a preset name or an explicit dict."""
-    from clip_event_tpu.models.clip import RN50, VIT_B16, VIT_B32, VIT_L14, CLIPConfig
+    from clip_event_tpu.models.clip import (
+        RN50,
+        RN50X4,
+        RN101,
+        VIT_B16,
+        VIT_B32,
+        VIT_L14,
+        CLIPConfig,
+    )
 
-    presets = {"ViT-B/32": VIT_B32, "ViT-B/16": VIT_B16, "ViT-L/14": VIT_L14, "RN50": RN50}
+    presets = {
+        "ViT-B/32": VIT_B32,
+        "ViT-B/16": VIT_B16,
+        "ViT-L/14": VIT_L14,
+        "RN50": RN50,
+        "RN101": RN101,
+        "RN50x4": RN50X4,
+    }
     spec = cfg.get("model", "ViT-B/32")
     if isinstance(spec, str):
         if spec not in presets:

@@ -4,6 +4,8 @@ from clip_event_tpu.models.clip import (  # noqa: F401
     VIT_B16,
     VIT_L14,
     RN50,
+    RN101,
+    RN50X4,
     encode_image,
     encode_text,
     forward,

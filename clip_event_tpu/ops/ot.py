@@ -155,8 +155,14 @@ def alignment_loss(
     entity_emb [B, M, E]; object_emb [B, N, E] where slot 0 is the whole
     image (dropped, reference `model_clip.py:686`); masks are 1 at real
     nodes. Returns scalar `0.01 · Σ_b ot_dist_b`.
+
+    use_pallas: True/False, or "auto" — the fused kernel wins only once the
+    (static) node axes reach ~32 (measured, PERFORMANCE.md "IPOT kernel");
+    below that the batched XLA scan is faster.
     """
     img_nodes = object_emb[:, 1:]
+    if use_pallas == "auto":
+        use_pallas = min(entity_emb.shape[1], img_nodes.shape[1]) >= 32
     txt_pad = entity_mask == 0
     img_pad = object_mask[:, 1:] == 0
     dist = optimal_transport_dist(

@@ -61,6 +61,22 @@ def test_model_config_presets_and_dict():
     assert not rn.is_vit
 
 
+def test_model_config_all_zoo_presets():
+    """Every zoo model name resolves to a preset matching its published
+    architecture (reference `clip.py:22`, shapes per `model_clip.py:578-607`)."""
+    from clip_event_tpu import zoo
+
+    for name in zoo.available_models():
+        mcfg = model_config({"model": name})
+        assert mcfg.context_length == 77 and mcfg.vocab_size == 49408
+    rn101 = model_config({"model": "RN101"})
+    assert rn101.vision_layers == (3, 4, 23, 3) and rn101.embed_dim == 512
+    rn50x4 = model_config({"model": "RN50x4"})
+    assert rn50x4.vision_layers == (4, 6, 10, 6)
+    assert rn50x4.image_resolution == 288 and rn50x4.embed_dim == 640
+    assert rn50x4.transformer_width == 640 and rn50x4.transformer_heads == 10
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from clip_event_tpu.engine.checkpoint import (
         latest_checkpoint,

@@ -44,3 +44,25 @@ def test_pallas_k2_inner_iterations():
         ipot_pallas(jnp.asarray(cost), x_len, txt_pad, y_len, img_pad, iterations=10, k=2, interpret=True)
     )
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_alignment_loss_auto_mode():
+    """use_pallas='auto' selects by static node caps and matches both
+    explicit settings numerically."""
+    from clip_event_tpu.ops.ot import alignment_loss
+
+    rng = np.random.default_rng(3)
+    B, M, N, E = 2, 33, 34, 16  # ≥32 real nodes each → auto picks pallas
+    ent = jnp.asarray(rng.normal(size=(B, M, E)), jnp.float32)
+    obj = jnp.asarray(rng.normal(size=(B, N, E)), jnp.float32)
+    ent_mask = jnp.ones((B, M), jnp.int32)
+    obj_mask = jnp.ones((B, N), jnp.int32)
+    base = alignment_loss(ent, obj, ent_mask, obj_mask, use_pallas=False)
+    auto = alignment_loss(ent, obj, ent_mask, obj_mask, use_pallas="auto")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(base), rtol=2e-5)
+
+    small = alignment_loss(ent[:, :8], obj[:, :9], ent_mask[:, :8],
+                           obj_mask[:, :9], use_pallas="auto")
+    ref_small = alignment_loss(ent[:, :8], obj[:, :9], ent_mask[:, :8],
+                               obj_mask[:, :9], use_pallas=False)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(ref_small), rtol=2e-5)
