@@ -18,13 +18,14 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 V100_BASELINE_PAIRS_PER_SEC = 90.0
 
-BATCH_PER_CHIP = 256
+BATCH_PER_CHIP = int(os.environ.get("BENCH_BATCH", "384"))
 NUM_POS, NUM_NEG = 1, 2
 STEPS_PER_CALL = 10
 MEASURE_CALLS = 3

@@ -201,6 +201,122 @@ def bench_vision():
         except Exception as e:
             print(f"{label:<44s} FAILED: {type(e).__name__}", flush=True)
 
+    from clip_event_tpu.models import layers
+
+    layers.set_attention_impl("pallas")
+    try:
+        for label, mode in (
+            ("vision grad, remat + pallas attention", True),
+            ("vision grad, no remat + pallas", False),
+        ):
+            try:
+                _tower_grad_bench(label, params, images, make_fwd(mode))
+            except Exception as e:
+                print(f"{label:<44s} FAILED: {type(e).__name__}", flush=True)
+    finally:
+        layers.set_attention_impl("xla")
+
+
+def bench_visionsplit():
+    """Decompose the ViT stack (B=256, S=50, W=768): full block vs MLP-only
+    vs attention-only vs matmul skeleton, plus the patch-conv embedding —
+    locates the vision tower's non-matmul time (theoretical matmul bound is
+    ~1/3 of the measured tower grad)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import clip as clip_model
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    L, W, H = cfg.vision_layers, cfg.vision_width, cfg.vision_width // 64
+    tt = layers.init_transformer(jax.random.PRNGKey(0), L, W)
+    rng = np.random.default_rng(0)
+    S = cfg.grid_size**2 + 1
+    x = jnp.asarray(rng.normal(size=(B, S, W)), jnp.bfloat16)
+
+    def scan_stack(block):
+        def fwd(p, xx, c):
+            def body(h, lp):
+                return block(h, lp), None
+
+            out, _ = jax.lax.scan(body, xx * (1 + c * 1e-12), p)
+            return out
+
+        return fwd
+
+    remat = lambda f: jax.checkpoint(f, policy=jax.checkpoint_policies.nothing_saveable)
+
+    @remat
+    def full_block(h, lp):
+        return layers.residual_block(h, lp, H, None, impl="xla")
+
+    @remat
+    def full_block_pallas(h, lp):
+        return layers.residual_block(h, lp, H, None, impl=("pallas", None))
+
+    @remat
+    def mlp_only(h, lp):
+        hh = layers.layer_norm(h, lp["ln_2"])
+        hh = layers.linear(hh, lp["mlp"]["fc_w"], lp["mlp"]["fc_b"])
+        hh = layers.quick_gelu(hh)
+        hh = layers.linear(hh, lp["mlp"]["proj_w"], lp["mlp"]["proj_b"])
+        return h + hh
+
+    @remat
+    def attn_only(h, lp):
+        return h + layers.multi_head_attention(
+            layers.layer_norm(h, lp["ln_1"]), lp["attn"], H, None, impl="xla"
+        )
+
+    @remat
+    def attn_only_pallas(h, lp):
+        return h + layers.multi_head_attention(
+            layers.layer_norm(h, lp["ln_1"]), lp["attn"], H, None,
+            impl=("pallas", None),
+        )
+
+    @remat
+    def matmuls_only(h, lp):
+        q = layers.linear(h, lp["attn"]["qkv_w"], lp["attn"]["qkv_b"])
+        q = q[..., :W]
+        q = layers.linear(q, lp["attn"]["out_w"], lp["attn"]["out_b"])
+        hh = layers.linear(h + q, lp["mlp"]["fc_w"], lp["mlp"]["fc_b"])
+        hh = layers.linear(hh, lp["mlp"]["proj_w"], lp["mlp"]["proj_b"])
+        return h + hh
+
+    for name, block in (
+        ("vit stack: full block (xla attn)", full_block),
+        ("vit stack: full block (pallas attn)", full_block_pallas),
+        ("vit stack: mlp half only", mlp_only),
+        ("vit stack: attention half (xla)", attn_only),
+        ("vit stack: attention half (pallas)", attn_only_pallas),
+        ("vit stack: matmul skeleton only", matmuls_only),
+    ):
+        try:
+            _tower_grad_bench(name, tt, x, scan_stack(block))
+        except Exception as e:
+            print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
+
+    # the patch embedding (conv-as-matmul) + pre/post plumbing around the stack
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(_image_inputs(cfg))
+
+    def embed_only(p, im, c):
+        from clip_event_tpu.models import vit
+
+        return vit.patch_embed(
+            (im + c * 1e-12).astype(jnp.bfloat16),
+            p["visual"]["patch_embed_w"],
+            cfg.vision_patch_size,
+        )
+
+    try:
+        _tower_grad_bench("vit patch embed only", params, images, embed_only)
+    except Exception as e:
+        print(f"{'vit patch embed only':<44s} FAILED: {type(e).__name__}", flush=True)
+
 
 def bench_step(impls=("xla", "pallas")):
     """Full train step (the bench.py configuration), per attention impl."""
@@ -402,6 +518,7 @@ EXPERIMENTS = {
     "vision": bench_vision,
     "unroll": bench_unroll,
     "textsplit": bench_textsplit,
+    "visionsplit": bench_visionsplit,
     "ot": bench_ot,
 }
 
