@@ -1,0 +1,155 @@
+"""Batch embedding export — the serving/indexing surface.
+
+Streams a corpus (image files and/or text lines) through the jitted
+normalized encoders and writes sharded `.npz` files of unit-norm float32
+features plus their ids. This is the production counterpart of the
+reference's ad-hoc inline CLIP scoring during preprocessing
+(`preprocess_description_contrastive.py:116-144` caches per-doc CLIP logits;
+here the embeddings themselves are the artifact, so any number of
+downstream rankers/indexes can reuse one encode pass).
+
+Throughput path: the threaded prefetching DataLoader decodes/resizes on the
+host (native C++ pipeline when available) while the TPU encodes the previous
+batch; fixed batch shapes mean exactly one compilation.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from clip_event_tpu.data.common import DataLoader, ExampleDataset, load_image_file
+
+log = logging.getLogger(__name__)
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class ImageFilesDataset(ExampleDataset):
+    """Every image file under the given dirs (or an explicit list)."""
+
+    def __init__(self, image_dirs: Sequence[str] = (), image_files: Sequence[str] = (),
+                 image_size: int = 224):
+        files: List[str] = list(image_files)
+        for d in image_dirs:
+            for name in sorted(os.listdir(d)):
+                if name.lower().endswith(_IMAGE_EXTS):
+                    files.append(os.path.join(d, name))
+        if not files:
+            raise ValueError("no image files found")
+        self.files = files
+        self.image_size = image_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int):
+        path = self.files[idx]
+        image = load_image_file(path, self.image_size)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return {"image": image}, {"id": stem, "path": path}
+
+
+def _write_shard(out_dir: str, kind: str, shard_idx: int, ids: List[str],
+                 feats: List[np.ndarray]) -> str:
+    path = os.path.join(out_dir, f"{kind}-{shard_idx:05d}.npz")
+    np.savez_compressed(
+        path,
+        ids=np.asarray(ids),
+        features=np.concatenate(feats).astype(np.float32),
+    )
+    return path
+
+
+def embed_stream(dataset, enc, field: str, kind: str, out_dir: str,
+                 shard_size: int, batch_size: int, num_workers: int = 8,
+                 id_key: str = "id") -> Dict:
+    """Encode `dataset` and write `<kind>-NNNNN.npz` shards of (ids, features).
+
+    Constant host memory: at most one shard of features is resident."""
+    os.makedirs(out_dir, exist_ok=True)
+    loader = DataLoader(
+        dataset, batch_size=min(batch_size, len(dataset)), shuffle=False,
+        drop_last=False, num_workers=num_workers,
+    )
+    encode = enc.images if kind == "image" else enc.texts
+    ids: List[str] = []
+    feats: List[np.ndarray] = []
+    shards: List[str] = []
+    count = 0
+    dim = None
+    for batch, metas in loader:
+        x = np.asarray(batch[field])
+        f = encode(x)
+        dim = f.shape[-1]
+        feats.append(f)
+        ids.extend(str(m[id_key]) for m in metas)
+        count += f.shape[0]
+        if len(ids) >= shard_size:
+            shards.append(_write_shard(out_dir, kind, len(shards), ids[:shard_size],
+                                       [np.concatenate(feats)[:shard_size]]))
+            rest = np.concatenate(feats)[shard_size:]
+            ids, feats = ids[shard_size:], ([rest] if rest.size else [])
+    if ids:
+        shards.append(_write_shard(out_dir, kind, len(shards), ids, feats))
+    manifest = {
+        "kind": kind, "count": count, "dim": int(dim or 0),
+        "shards": [os.path.basename(s) for s in shards],
+        "normalized": True, "dtype": "float32",
+    }
+    return manifest
+
+
+def run_embed(cfg: dict, params, mcfg) -> dict:
+    """Config contract (embed.py CLI):
+
+      output_dir            where shards + manifest.json land (required)
+      image_dir / image_files   images to embed (either/both, optional)
+      text_file             one text per line (optional)
+      texts                 inline list of strings (optional)
+      batch_size (64), shard_size (50000), num_workers (8)
+    """
+    from clip_event_tpu.data.text import TextDataset
+    from clip_event_tpu.evals.common import Encoders
+
+    out_dir = cfg["output_dir"]
+    batch = cfg.get("batch_size", 64)
+    shard = cfg.get("shard_size", 50000)
+    workers = cfg.get("num_workers", 8)
+    enc = Encoders(params, mcfg, batch_size=batch)
+
+    manifests = {}
+    image_dirs = cfg.get("image_dir", [])
+    if isinstance(image_dirs, str):
+        image_dirs = [image_dirs]
+    image_files = cfg.get("image_files", [])
+    if image_dirs or image_files:
+        ds = ImageFilesDataset(image_dirs, image_files, mcfg.image_resolution)
+        log.info("embedding %d images", len(ds))
+        manifests["images"] = embed_stream(
+            ds, enc, "image", "image", out_dir, shard, batch, workers
+        )
+
+    texts = list(cfg.get("texts", []))
+    if cfg.get("text_file"):
+        with open(cfg["text_file"]) as fh:
+            texts += [line.rstrip("\n") for line in fh if line.strip()]
+    if texts:
+        ds = TextDataset(texts)
+        log.info("embedding %d texts", len(ds))
+        manifests["texts"] = embed_stream(
+            ds, enc, "text", "text", out_dir, shard, batch, workers,
+            id_key="text",
+        )
+
+    if not manifests:
+        raise ValueError("nothing to embed: give image_dir/image_files, "
+                         "text_file, or texts")
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifests, fh, indent=2)
+    return {k: {"count": m["count"], "shards": len(m["shards"]), "dim": m["dim"]}
+            for k, m in manifests.items()}

@@ -1,0 +1,99 @@
+"""Embedding export: streaming shards, manifest, id alignment, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from clip_event_tpu.embed import ImageFilesDataset, run_embed  # noqa: E402
+from clip_event_tpu.models import init_params  # noqa: E402
+from tests.test_evals import TINY_EVAL  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), TINY_EVAL)
+
+
+def _make_images(tmp_path, n=7):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    for i in range(n):
+        arr = rng.integers(0, 256, size=(40 + i, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im_{i:03d}.jpg")
+    return str(img_dir)
+
+
+def test_embed_images_and_texts(tmp_path, params):
+    img_dir = _make_images(tmp_path, n=7)
+    out_dir = str(tmp_path / "out")
+    cfg = {
+        "output_dir": out_dir,
+        "image_dir": img_dir,
+        "texts": [f"caption number {i}" for i in range(5)],
+        "batch_size": 4,
+        "shard_size": 3,  # force multi-shard rollover
+        "num_workers": 2,
+    }
+    summary = run_embed(cfg, params, TINY_EVAL)
+    assert summary["images"]["count"] == 7
+    assert summary["images"]["shards"] == 3  # 3+3+1
+    assert summary["texts"]["count"] == 5
+
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    ids, feats = [], []
+    for shard in manifest["images"]["shards"]:
+        z = np.load(os.path.join(out_dir, shard))
+        ids += list(z["ids"])
+        feats.append(z["features"])
+    feats = np.concatenate(feats)
+    assert ids == [f"im_{i:03d}" for i in range(7)]
+    assert feats.shape == (7, TINY_EVAL.embed_dim)
+    # features are unit-norm (the encoders normalize)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-3)
+
+    # id↔feature alignment: re-encoding one file directly must match its row
+    ds = ImageFilesDataset([img_dir], image_size=TINY_EVAL.image_resolution)
+    from clip_event_tpu.evals.common import Encoders
+
+    enc = Encoders(params, TINY_EVAL, batch_size=4)
+    one = enc.images(ds[2][0]["image"][None])
+    np.testing.assert_allclose(one[0], feats[2], atol=1e-4)
+
+
+def test_embed_cli(tmp_path, params):
+    img_dir = _make_images(tmp_path, n=3)
+    out_dir = str(tmp_path / "out_cli")
+    cfg = {
+        "output_dir": out_dir,
+        "image_dir": img_dir,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64,
+            "transformer_heads": 1, "transformer_layers": 2,
+        },
+        "batch_size": 2,
+        "num_workers": 1,
+    }
+    cfg_path = tmp_path / "embed.json"
+    cfg_path.write_text(json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "embed.py"), "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert out["images"]["count"] == 3
+    assert os.path.exists(os.path.join(out_dir, "manifest.json"))

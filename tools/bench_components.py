@@ -472,6 +472,64 @@ def bench_textsplit():
             print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
+def bench_latency():
+    """Image-encode latency (BASELINE.md 'image-encode p50 latency' gate).
+
+    Two numbers per batch size: end-to-end per-call p50 (includes the
+    host→TPU dispatch, which on this tunneled sandbox adds ~80–100 ms — on a
+    directly-attached host it is ~10 µs), and chip-only time (K iterations
+    chained in one dispatch, divided by K)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.engine.train_step import make_eval_encoders
+    from clip_event_tpu.models import VIT_B32, init_params
+
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    layers.set_attention_impl("pallas")  # flagship path
+    try:
+        image_fn, _ = make_eval_encoders(cfg, compute_dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+
+        for bs in (1, 8, 64):
+            x = jnp.asarray(rng.normal(size=(bs, 224, 224, 3)), jnp.float32)
+
+            # end-to-end: one dispatch per call, hard host fetch each call
+            f = jax.jit(lambda p, xx: image_fn(p, xx))
+            float(np.asarray(f(params, x)).sum())  # compile + warm
+            times = []
+            for _ in range(20):
+                t0 = time.perf_counter()
+                float(np.asarray(f(params, x)).sum())
+                times.append(time.perf_counter() - t0)
+            p50 = sorted(times)[len(times) // 2]
+
+            # chip-only: K chained iterations in one dispatch
+            K = 20
+
+            @jax.jit
+            def many(p, xx, c0):
+                def body(c, _):
+                    out = image_fn(p, xx * (1 + c * 1e-12))
+                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
+
+                c, _ = jax.lax.scan(body, c0, None, length=K)
+                return c
+
+            dt = _bench_chain(lambda c: many(params, x, c), K)
+            print(
+                f"image encode B={bs:<3d} e2e p50 {p50 * 1e3:8.2f} ms/call"
+                f"   chip-only {dt * 1e3:8.2f} ms/call"
+                f"   ({bs / dt:8.1f} img/s)",
+                flush=True,
+            )
+    finally:
+        layers.set_attention_impl("xla")
+
+
 def bench_ot():
     """IPOT solver: XLA lax.scan loop vs the fused Pallas kernel, at the
     alignment-config shapes (B images, max_entities=16 text nodes, top-10
@@ -520,6 +578,7 @@ EXPERIMENTS = {
     "textsplit": bench_textsplit,
     "visionsplit": bench_visionsplit,
     "ot": bench_ot,
+    "latency": bench_latency,
 }
 
 
