@@ -30,7 +30,11 @@ _IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
 class ImageFilesDataset(ExampleDataset):
-    """Every image file under the given dirs (or an explicit list)."""
+    """Every image file under the given dirs (or an explicit list).
+
+    Ids are the filename stems when those are unique across the corpus;
+    otherwise the full path is used, so two `photo_001.jpg` in different
+    dirs never collide in the exported index."""
 
     def __init__(self, image_dirs: Sequence[str] = (), image_files: Sequence[str] = (),
                  image_size: int = 224):
@@ -42,6 +46,8 @@ class ImageFilesDataset(ExampleDataset):
         if not files:
             raise ValueError("no image files found")
         self.files = files
+        stems = [os.path.splitext(os.path.basename(p))[0] for p in files]
+        self.ids = stems if len(set(stems)) == len(stems) else files
         self.image_size = image_size
 
     def __len__(self):
@@ -50,8 +56,7 @@ class ImageFilesDataset(ExampleDataset):
     def __getitem__(self, idx: int):
         path = self.files[idx]
         image = load_image_file(path, self.image_size)
-        stem = os.path.splitext(os.path.basename(path))[0]
-        return {"image": image}, {"id": stem, "path": path}
+        return {"image": image}, {"id": self.ids[idx], "path": path}
 
 
 def _write_shard(out_dir: str, kind: str, shard_idx: int, ids: List[str],
@@ -89,10 +94,13 @@ def embed_stream(dataset, enc, field: str, kind: str, out_dir: str,
         feats.append(f)
         ids.extend(str(m[id_key]) for m in metas)
         count += f.shape[0]
-        if len(ids) >= shard_size:
-            shards.append(_write_shard(out_dir, kind, len(shards), ids[:shard_size],
-                                       [np.concatenate(feats)[:shard_size]]))
-            rest = np.concatenate(feats)[shard_size:]
+        while len(ids) >= shard_size:
+            buf = np.concatenate(feats)
+            shards.append(
+                _write_shard(out_dir, kind, len(shards), ids[:shard_size],
+                             [buf[:shard_size]])
+            )
+            rest = buf[shard_size:]
             ids, feats = ids[shard_size:], ([rest] if rest.size else [])
     if ids:
         shards.append(_write_shard(out_dir, kind, len(shards), ids, feats))
@@ -127,6 +135,8 @@ def run_embed(cfg: dict, params, mcfg) -> dict:
     if isinstance(image_dirs, str):
         image_dirs = [image_dirs]
     image_files = cfg.get("image_files", [])
+    if isinstance(image_files, str):
+        image_files = [image_files]
     if image_dirs or image_files:
         ds = ImageFilesDataset(image_dirs, image_files, mcfg.image_resolution)
         log.info("embedding %d images", len(ds))

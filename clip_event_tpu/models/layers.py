@@ -112,6 +112,13 @@ def multi_head_attention(
 
     qkv = linear(x, params["qkv_w"], params["qkv_b"])  # [B, S, 3W]
 
+    from clip_event_tpu.ops.attention_pallas import fused_attention_supported
+
+    if kind == "pallas" and not fused_attention_supported(S, W, num_heads):
+        # whole-sequence block doesn't fit VMEM (e.g. ViT-L/14 vision,
+        # S=257 W=1024) — the einsum path tiles through HBM instead
+        kind = "xla"
+
     if kind == "pallas":
         # Fused VMEM-resident attention core: consumes the packed projection
         # directly (heads sliced inside the kernel), returns the concatenated

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from clip_event_tpu.ops.pallas_util import interpret_off_tpu as _interpret_here
+from clip_event_tpu.ops.pallas_util import round_up as _round_up
+
 # batched dot_general helpers over a leading batch axis
 _QKT = (((2,), (2,)), ((0,), (0,)))  # [N,S,D]·[N,S,D]  → [N,S,S]
 _PV = (((2,), (1,)), ((0,), (0,)))  # [N,S,S]·[N,S,D]  → [N,S,D]
@@ -101,23 +104,36 @@ def _bwd_kernel(qkv_ref, bias_ref, do_ref, dqkv_ref, *, num_heads, width, scale)
     )
 
 
+def _block_bytes(tb: int, seq_len: int, width: int, num_heads: int) -> int:
+    """Worst-case (backward-kernel) VMEM working set for a tb-item block:
+    double-buffered bf16 qkv/do/dqkv blocks, ~4 qkv-sized f32 tensors
+    (qkv upcast + split q/k/v + merged d_qkv), and the 3 probability-shaped
+    f32 tensors (p, dp, ds) with their 128-lane padding."""
+    sp = _round_up(seq_len, 128)
+    bytes_io = 2 * 2 * (2 * tb * seq_len * 3 * width + tb * seq_len * width)
+    bytes_f32 = 4 * (4 * tb * seq_len * 3 * width + 3 * tb * seq_len * sp * num_heads)
+    return bytes_io + bytes_f32
+
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # of the 16 MB physical VMEM
+
+
+def fused_attention_supported(seq_len: int, width: int, num_heads: int) -> bool:
+    """Whether even a 1-item block fits in VMEM. False for e.g. ViT-L/14's
+    vision tower (S=257, W=1024, H=16 → ~26 MB at tb=1); callers fall back
+    to the XLA einsum path, which tiles through HBM."""
+    return _block_bytes(1, seq_len, width, num_heads) < _VMEM_BUDGET
+
+
 def _pick_block_b(batch: int, seq_len: int, width: int, num_heads: int) -> int:
-    """Largest batch-block whose working set fits comfortably in VMEM.
-
-    Budget ≈ double-buffered bf16 qkv in + out, f32 per-head copies and the
-    [H·TB, S, S] probability tensor. ~10 MB target of the 16 MB VMEM.
-    """
-    sp = _round_up(seq_len, 128)  # lane padding of the probability tensor
+    """Largest batch-block whose working set fits in the VMEM budget."""
     for tb in (32, 16, 8, 4, 2, 1):
-        bytes_io = 2 * (tb * seq_len * 3 * width * 2) + 2 * (tb * seq_len * width * 2)
-        bytes_f32 = 4 * (4 * tb * seq_len * 3 * width + 2 * tb * seq_len * sp * num_heads)
-        if bytes_io + bytes_f32 < 10 * 1024 * 1024:
+        if _block_bytes(tb, seq_len, width, num_heads) < _VMEM_BUDGET:
             return min(tb, batch)
-    return 1
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+    raise ValueError(
+        f"attention block (S={seq_len}, W={width}, H={num_heads}) exceeds VMEM "
+        "even at block size 1 — gate calls on fused_attention_supported()"
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -147,10 +163,6 @@ def _prep(qkv, bias, num_heads):
     return qkv, b, width, tb
 
 
-def _interpret_here(interpret: bool) -> bool:
-    """Mosaic only targets TPU; fall back to interpret mode elsewhere so the
-    pallas impl works on the virtual-CPU test/dryrun meshes."""
-    return interpret or jax.default_backend() != "tpu"
 
 
 def _fused_qkv_fwd(qkv, bias, num_heads, scale, interpret):

@@ -33,10 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from clip_event_tpu.ops.ot import MASK_BIG
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from clip_event_tpu.ops.pallas_util import interpret_off_tpu
+from clip_event_tpu.ops.pallas_util import round_up as _round_up
 
 
 def _ipot_kernel(
@@ -108,9 +106,7 @@ def ipot_pallas(
     nodes are flagged in the pad masks so they contribute nothing (same
     mechanism the solver already uses for ragged graphs).
     """
-    # Mosaic only targets TPU; fall back to interpret mode elsewhere so the
-    # kernel works on the virtual-CPU test/dryrun meshes
-    interpret = interpret or jax.default_backend() != "tpu"
+    interpret = interpret_off_tpu(interpret)
     B, M, N = cost.shape
     Mp, Np = _round_up(M, 8), _round_up(N, 8)
     tb = _pick_block_b(B, Mp, Np)

@@ -143,14 +143,18 @@ def run(data_root: str, cu_toolbox: str = "", edl_data: str = "",
          "cu_toolbox": cu_toolbox or os.path.join(data_root, "cu_toolbox"),
          "edl_data": edl_data or os.path.join(data_root, "edl_data")}
     plans = plan(data_root, cu_toolbox, edl_data, stages)
+    ok = True
     if not dry_run and not docker_available():
         log.error(
             "docker is not available on this host. Run the commands below on "
             "a docker-capable machine, or produce the same artifacts with "
             "another IE system; then point preprocess_descriptions.py at them."
         )
+        # an explicitly requested --execute that cannot run is a failure:
+        # print the plan, but exit nonzero so scripts/CI don't conclude the
+        # IE stages ran
         dry_run = True
-    ok = True
+        ok = False
     for stage in STAGES:
         if stage.name not in plans:
             continue

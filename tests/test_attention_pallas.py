@@ -181,3 +181,39 @@ def test_mha_layer_pallas_matches_xla():
         attention_pallas.fused_attention_qkv = orig
         L.set_attention_impl("xla")
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_vmem_support_predicate_and_fallback():
+    """Shapes whose 1-item block exceeds VMEM are rejected by the predicate,
+    and multi_head_attention silently takes the einsum path for them
+    (ViT-L/14 vision: S=257, W=1024, H=16)."""
+    from clip_event_tpu.models import layers as L
+    from clip_event_tpu.ops.attention_pallas import (
+        _pick_block_b,
+        fused_attention_supported,
+    )
+
+    assert fused_attention_supported(77, 512, 8)      # text tower
+    assert fused_attention_supported(50, 768, 12)     # ViT-B/32 vision
+    assert not fused_attention_supported(257, 1024, 16)  # ViT-L/14 vision
+    with pytest.raises(ValueError):
+        _pick_block_b(4, 257, 1024, 16)
+
+    # the layer must not crash for unsupported shapes with pallas selected —
+    # it falls back to the einsum path and matches it exactly
+    rng = np.random.default_rng(1)
+    B, S, W, H = 2, 257, 1024, 16
+    x = jnp.asarray(rng.normal(size=(B, S, W)), jnp.float32)
+    params = {
+        "qkv_w": jnp.asarray(rng.normal(size=(W, 3 * W)) * 0.02, jnp.float32),
+        "qkv_b": jnp.zeros(3 * W),
+        "out_w": jnp.asarray(rng.normal(size=(W, W)) * 0.02, jnp.float32),
+        "out_b": jnp.zeros(W),
+    }
+    ref = np.asarray(L.multi_head_attention(x, params, H, None, impl="xla"))
+    L.set_attention_impl("pallas")
+    try:
+        ours = np.asarray(L.multi_head_attention(x, params, H, None))
+    finally:
+        L.set_attention_impl("xla")
+    np.testing.assert_allclose(ours, ref, atol=0, rtol=0)

@@ -27,7 +27,7 @@ def _make_images(tmp_path, n=7):
 
     rng = np.random.default_rng(0)
     img_dir = tmp_path / "imgs"
-    img_dir.mkdir(exist_ok=True)
+    img_dir.mkdir(parents=True, exist_ok=True)
     for i in range(n):
         arr = rng.integers(0, 256, size=(40 + i, 64, 3), dtype=np.uint8)
         Image.fromarray(arr).save(img_dir / f"im_{i:03d}.jpg")
@@ -97,3 +97,46 @@ def test_embed_cli(tmp_path, params):
     out = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert out["images"]["count"] == 3
     assert os.path.exists(os.path.join(out_dir, "manifest.json"))
+
+
+def test_embed_batch_larger_than_shard(tmp_path, params):
+    """batch_size > shard_size must still flush every full shard per batch
+    (constant resident memory) and keep shards exactly shard_size."""
+    img_dir = _make_images(tmp_path, n=9)
+    out_dir = str(tmp_path / "out_big_batch")
+    cfg = {
+        "output_dir": out_dir,
+        "image_dir": img_dir,
+        "batch_size": 8,
+        "shard_size": 2,
+        "num_workers": 1,
+    }
+    summary = run_embed(cfg, params, TINY_EVAL)
+    assert summary["images"]["count"] == 9
+    assert summary["images"]["shards"] == 5  # 2+2+2+2+1
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    sizes = [
+        len(np.load(os.path.join(out_dir, s))["ids"])
+        for s in manifest["images"]["shards"]
+    ]
+    assert sizes == [2, 2, 2, 2, 1]
+
+
+def test_embed_duplicate_stems_and_string_image_files(tmp_path, params):
+    """Same filename in two dirs → full-path ids; a single-string
+    image_files config value is treated as one path, not characters."""
+    d1 = _make_images(tmp_path / "a", n=2)
+    d2 = _make_images(tmp_path / "b", n=2)  # same stems im_000/im_001
+    ds = ImageFilesDataset([d1, d2], image_size=TINY_EVAL.image_resolution)
+    assert len(set(ds.ids)) == 4  # collisions resolved via full paths
+    assert all(os.sep in i for i in ds.ids)
+
+    out_dir = str(tmp_path / "out_str")
+    cfg = {
+        "output_dir": out_dir,
+        "image_files": os.path.join(d1, "im_000.jpg"),  # bare string
+        "batch_size": 2,
+        "num_workers": 1,
+    }
+    summary = run_embed(cfg, params, TINY_EVAL)
+    assert summary["images"]["count"] == 1
