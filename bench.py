@@ -25,7 +25,11 @@ import numpy as np
 
 V100_BASELINE_PAIRS_PER_SEC = 90.0
 
-BATCH_PER_CHIP = int(os.environ.get("BENCH_BATCH", "384"))
+BENCH_MODEL = os.environ.get("BENCH_MODEL", "ViT-B/32")
+_DEFAULT_BATCH = {"ViT-B/32": 384, "ViT-B/16": 96, "ViT-L/14": 64, "RN50": 128}
+BATCH_PER_CHIP = int(
+    os.environ.get("BENCH_BATCH", _DEFAULT_BATCH.get(BENCH_MODEL, 64))
+)
 NUM_POS, NUM_NEG = 1, 2
 STEPS_PER_CALL = 10
 MEASURE_CALLS = 3
@@ -41,12 +45,13 @@ def main():
         create_train_state,
         make_multi_step,
     )
-    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.config import model_config
+    from clip_event_tpu.models import init_params
     from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
 
     from clip_event_tpu.models.layers import set_attention_impl
 
-    cfg = VIT_B32
+    cfg = model_config({"model": BENCH_MODEL})
     n_chips = len(jax.devices())
     mesh = make_mesh(n_chips)
     # flagship config: fused packed-QKV pallas attention (339→239 ms/step)
@@ -59,7 +64,9 @@ def main():
     text = rng.integers(1, 49000, size=(B * D, cfg.context_length)).astype(np.int32)
     text[:, -1] = cfg.vocab_size - 1
     batch = {
-        "image": rng.normal(size=(B, 224, 224, 3)).astype(np.float32),
+        "image": rng.normal(
+            size=(B, cfg.image_resolution, cfg.image_resolution, 3)
+        ).astype(np.float32),
         "text": text,
         "labels_per_image": layout.labels_per_image,
         "labels_per_text": layout.labels_per_text,

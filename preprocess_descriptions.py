@@ -60,7 +60,6 @@ def main():
     image_paths = {}
     add_clip_sim = cfg.get("add_clip_sim", False)
     if add_clip_sim:
-        from clip_event_tpu.config import model_config
         from clip_event_tpu.evals.cli import load_model_from_cfg
 
         params, mcfg = load_model_from_cfg(

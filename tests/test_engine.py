@@ -9,7 +9,7 @@ import sys
 import numpy as np
 import pytest
 
-from clip_event_tpu.config import ConfigError, load_config, model_config, validate_config
+from clip_event_tpu.config import ConfigError, model_config, validate_config
 from tests.fixtures import make_voa_fixture
 
 jax = pytest.importorskip("jax")

@@ -174,7 +174,5 @@ def test_cast_params_bf16():
     assert half["logit_scale"].dtype == jnp.float32
     # model still runs
     images, tokens = _rand_inputs(TINY_VIT)
-    import jax.numpy as jnp2
-
     out = encode_image(half, TINY_VIT, images, compute_dtype=jnp.bfloat16)
     assert np.isfinite(np.asarray(out, np.float32)).all()

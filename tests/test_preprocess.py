@@ -10,7 +10,6 @@ import pytest
 
 from clip_event_tpu.preprocess.ke import load_cs_files
 from clip_event_tpu.preprocess.selection import (
-    preprocess_caption,
     rank_events,
     select_salient_events,
 )
@@ -190,8 +189,6 @@ def test_generate_descriptions_styles():
 @pytest.mark.slow
 def test_preprocess_cli_feeds_training(tmp_path):
     """CLI → descriptions json → VOADescriptionDataset consumes it."""
-    from tests.fixtures import make_voa_fixture
-
     ent, evt = _write_cs(tmp_path)
     # build captions keyed to the .cs doc ids
     mapping = {"d1": {"0": {"url": "", "cap": "Rebels attacked the base."}}}

@@ -12,7 +12,6 @@ import pytest
 
 from clip_event_tpu.tokenizer import (
     CONTEXT_LENGTH,
-    ClipTokenizer,
     get_tokenizer,
     tokenize,
 )

@@ -47,7 +47,6 @@ def test_gather_features_grad_restores_local_shard():
     the semantics of the reference gather_tensors (utils.py:192-206)."""
     from functools import partial
 
-    import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
