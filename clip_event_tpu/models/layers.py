@@ -112,12 +112,33 @@ def multi_head_attention(
 
     qkv = linear(x, params["qkv_w"], params["qkv_b"])  # [B, S, 3W]
 
-    from clip_event_tpu.ops.attention_pallas import fused_attention_supported
+    from clip_event_tpu.ops.attention_pallas import (
+        fused_attention_supported,
+        head_grid_supported,
+    )
 
     if kind == "pallas" and not fused_attention_supported(S, W, num_heads):
-        # whole-sequence block doesn't fit VMEM (e.g. ViT-L/14 vision,
-        # S=257 W=1024) — the einsum path tiles through HBM instead
-        kind = "xla"
+        # whole-width block doesn't fit VMEM (ViT-L/14 vision S=257,
+        # ViT-B/16 vision S=197): use the head-gridded kernel (H× smaller
+        # working set), or the einsum path if even one head is too big
+        kind = "pallas_hg" if head_grid_supported(S, W, num_heads) else "xla"
+
+    if kind == "pallas_hg":
+        from clip_event_tpu.ops.attention_pallas import (
+            fused_attention_qkv_headgrid,
+            sharded_attention,
+        )
+        from clip_event_tpu.parallel.mesh import DATA_AXIS
+
+        if mesh is not None and DATA_AXIS in mesh.axis_names and B % mesh.devices.size == 0:
+            out = sharded_attention(
+                fused_attention_qkv_headgrid, qkv, attn_bias, num_heads, scale,
+                mesh, DATA_AXIS,
+            )
+        else:
+            out = fused_attention_qkv_headgrid(qkv, attn_bias, num_heads, scale)
+        out = checkpoint_name(out, "attn_core_out")
+        return linear(out, params["out_w"], params["out_b"])
 
     if kind == "pallas":
         # Fused VMEM-resident attention core: consumes the packed projection

@@ -209,7 +209,7 @@ def _fused_qkv_bwd(num_heads, scale, interpret, residuals, g):
 fused_attention_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
-def fused_attention_qkv_sharded(qkv, bias, num_heads, scale, mesh, axis):
+def sharded_attention(kernel_fn, qkv, bias, num_heads, scale, mesh, axis):
     """Batch-sharded kernel invocation for multi-chip meshes.
 
     GSPMD cannot partition a pallas custom call — left alone it replicates
@@ -224,10 +224,179 @@ def fused_attention_qkv_sharded(qkv, bias, num_heads, scale, mesh, axis):
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes info
     if bias is None:
         return jax.shard_map(
-            lambda q: fused_attention_qkv(q, None, num_heads, scale),
+            lambda q: kernel_fn(q, None, num_heads, scale),
             mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False,
         )(qkv)
     return jax.shard_map(
-        lambda q, b: fused_attention_qkv(q, b, num_heads, scale),
+        lambda q, b: kernel_fn(q, b, num_heads, scale),
         mesh=mesh, in_specs=(spec, P(None, None)), out_specs=spec, check_vma=False,
     )(qkv, bias)
+
+
+def fused_attention_qkv_sharded(qkv, bias, num_heads, scale, mesh, axis):
+    return sharded_attention(fused_attention_qkv, qkv, bias, num_heads, scale, mesh, axis)
+
+
+
+# --------------------------------------------------------------- head-gridded
+# Variant for sequences whose whole-width block cannot fit VMEM (ViT-L/14
+# S=257, ViT-B/16 S=197): the grid runs over (batch-block, lane-block) where
+# a lane-block is 128 lanes = 128//D consecutive heads (2 for CLIP's D=64),
+# and each program sees only those heads' q/k/v lanes. q, k, v arrive as
+# three BlockSpecs over the SAME packed [B, S, 3W] array with lane-block
+# offsets 0, W/128, 2W/128 — Mosaic requires lane blocks of exactly 128, so
+# the heads-per-program count is fixed by the head_dim, and W must be a
+# multiple of 128 (true for every CLIP tower). Working set shrinks by
+# H/(128/D)× vs the whole-width kernel; it replaces the XLA einsum
+# fallback, not the main kernel.
+
+_HG_LANES = 128
+
+
+def _hg_heads(head_dim: int) -> int:
+    return _HG_LANES // head_dim
+
+
+def _hg_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads, width, scale):
+    # refs are [TB, S, 128] lane-blocks; treat as a width-128, `heads`-head
+    # packed attention and reuse the per-head slicing helpers
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    tb, s, _ = q.shape
+    d = _HG_LANES // heads
+    stack = lambda t: jnp.concatenate(
+        [t[:, :, h * d : (h + 1) * d][None] for h in range(heads)], 0
+    ).reshape(heads * tb, s, d)
+    p = _probs(stack(q), stack(k), bias_ref[...], scale)
+    out = jax.lax.dot_general(p, stack(v), _PV, preferred_element_type=jnp.float32)
+    o_ref[...] = _merge_heads(out, heads, tb).astype(o_ref.dtype)
+
+
+def _hg_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, *, heads, width, scale):
+    tb, s, _ = q_ref.shape
+    d = _HG_LANES // heads
+    stack = lambda t: jnp.concatenate(
+        [t[:, :, h * d : (h + 1) * d][None] for h in range(heads)], 0
+    ).reshape(heads * tb, s, d)
+    q = stack(q_ref[...].astype(jnp.float32))
+    k = stack(k_ref[...].astype(jnp.float32))
+    v = stack(v_ref[...].astype(jnp.float32))
+    do = stack(do_ref[...].astype(jnp.float32))
+
+    p = _probs(q, k, bias_ref[...], scale)
+    dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, _QKT, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, _PT_DO, preferred_element_type=jnp.float32) * scale
+
+    dq_ref[...] = _merge_heads(dq, heads, tb).astype(dq_ref.dtype)
+    dk_ref[...] = _merge_heads(dk, heads, tb).astype(dk_ref.dtype)
+    dv_ref[...] = _merge_heads(dv, heads, tb).astype(dv_ref.dtype)
+
+
+def _hg_block_bytes(tb: int, seq_len: int, heads: int) -> int:
+    """Backward working set per program: 7 f32 [heads·TB, S, D→128-lane]
+    tensors (q, k, v, do, dq, dk, dv) + 3 probability tensors + bf16 io."""
+    sp = _round_up(seq_len, 128)
+    f32 = 4 * (7 * heads * tb * seq_len * _HG_LANES + 3 * heads * tb * seq_len * sp)
+    io = 2 * 2 * 5 * tb * seq_len * _HG_LANES
+    return f32 + io
+
+
+def head_grid_supported(seq_len: int, width: int, num_heads: int) -> bool:
+    """The head-gridded kernel needs W % 128 == 0, head_dim dividing 128,
+    and a 1-item block fitting VMEM."""
+    if width % num_heads or width % _HG_LANES:
+        return False
+    d = width // num_heads
+    if d > _HG_LANES or _HG_LANES % d:
+        return False
+    return _hg_block_bytes(1, seq_len, _hg_heads(d)) < _VMEM_BUDGET
+
+
+def _hg_pick_tb(batch: int, seq_len: int, heads: int) -> int:
+    for tb in (32, 16, 8, 4, 2, 1):
+        if _hg_block_bytes(tb, seq_len, heads) < _VMEM_BUDGET:
+            return min(tb, batch)
+    raise ValueError(
+        f"head-gridded attention (S={seq_len}) exceeds VMEM — gate calls on "
+        "head_grid_supported()"
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_attention_qkv_headgrid(qkv, bias, num_heads, scale, interpret=False):
+    """Drop-in for `fused_attention_qkv` with an H·D/128× smaller VMEM
+    footprint (one 128-lane head group per grid program). Same packed
+    [B, S, 3W] input / [B, S, W] output contract."""
+    out, _ = _hg_fwd(qkv, bias, num_heads, scale, interpret)
+    return out
+
+
+def _hg_prep(qkv, bias, num_heads):
+    B, S, W3 = qkv.shape
+    width = W3 // 3
+    d = width // num_heads
+    heads = _hg_heads(d)
+    tb = _hg_pick_tb(B, S, heads)
+    bp = _round_up(B, tb)
+    if bp != B:
+        qkv = jnp.pad(qkv, [(0, bp - B), (0, 0), (0, 0)])
+    b = jnp.zeros((S, S), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    return qkv, b, width, heads, tb
+
+
+def _hg_specs(tb, S, width):
+    nb = width // _HG_LANES  # lane-blocks per q/k/v segment
+    blk = (tb, S, _HG_LANES)
+    q = pl.BlockSpec(blk, lambda b, h: (b, 0, h), memory_space=pltpu.VMEM)
+    k = pl.BlockSpec(blk, lambda b, h: (b, 0, nb + h), memory_space=pltpu.VMEM)
+    v = pl.BlockSpec(blk, lambda b, h: (b, 0, 2 * nb + h), memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((S, S), lambda b, h: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec(blk, lambda b, h: (b, 0, h), memory_space=pltpu.VMEM)
+    return q, k, v, bias, out
+
+
+def _hg_fwd(qkv, bias, num_heads, scale, interpret):
+    interpret = _interpret_here(interpret)
+    B, S, _ = qkv.shape
+    qp, b, width, heads, tb = _hg_prep(qkv, bias, num_heads)
+    qs, ks, vs, bs, os = _hg_specs(tb, S, width)
+    kernel = functools.partial(_hg_fwd_kernel, heads=heads, width=width, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(qp.shape[0] // tb, width // _HG_LANES),
+        in_specs=[qs, ks, vs, bs],
+        out_specs=os,
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], S, width), qkv.dtype),
+        interpret=interpret,
+    )(qp, qp, qp, b)
+    return out[:B], (qkv, bias)
+
+
+def _hg_bwd(num_heads, scale, interpret, residuals, g):
+    interpret = _interpret_here(interpret)
+    qkv, bias = residuals
+    B, S, _ = qkv.shape
+    qp, b, width, heads, tb = _hg_prep(qkv, bias, num_heads)
+    bp = qp.shape[0]
+    gp = g if bp == B else jnp.pad(g, [(0, bp - B), (0, 0), (0, 0)])
+    qs, ks, vs, bs, os = _hg_specs(tb, S, width)
+    kernel = functools.partial(_hg_bwd_kernel, heads=heads, width=width, scale=scale)
+    shape = jax.ShapeDtypeStruct((bp, S, width), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bp // tb, width // _HG_LANES),
+        in_specs=[qs, ks, vs, bs, os],
+        out_specs=(os, os, os),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(qp, qp, qp, b, gp)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv[:B], None
+
+
+fused_attention_qkv_headgrid.defvjp(_hg_fwd, _hg_bwd)

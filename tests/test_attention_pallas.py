@@ -184,9 +184,10 @@ def test_mha_layer_pallas_matches_xla():
 
 
 def test_vmem_support_predicate_and_fallback():
-    """Shapes whose 1-item block exceeds VMEM are rejected by the predicate,
-    and multi_head_attention silently takes the einsum path for them
-    (ViT-L/14 vision: S=257, W=1024, H=16)."""
+    """Shapes whose 1-item whole-width block exceeds VMEM are rejected by
+    the predicate (ViT-L/14 vision: S=257, W=1024, H=16); the layer then
+    dispatches to the head-gridded kernel (or einsum as last resort) and
+    must match the einsum numerics without crashing."""
     from clip_event_tpu.models import layers as L
     from clip_event_tpu.ops.attention_pallas import (
         _pick_block_b,
@@ -199,8 +200,7 @@ def test_vmem_support_predicate_and_fallback():
     with pytest.raises(ValueError):
         _pick_block_b(4, 257, 1024, 16)
 
-    # the layer must not crash for unsupported shapes with pallas selected —
-    # it falls back to the einsum path and matches it exactly
+    # the layer must not crash for unsupported shapes with pallas selected
     rng = np.random.default_rng(1)
     B, S, W, H = 2, 257, 1024, 16
     x = jnp.asarray(rng.normal(size=(B, S, W)), jnp.float32)
@@ -216,4 +216,94 @@ def test_vmem_support_predicate_and_fallback():
         ours = np.asarray(L.multi_head_attention(x, params, H, None))
     finally:
         L.set_attention_impl("xla")
-    np.testing.assert_allclose(ours, ref, atol=0, rtol=0)
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
+
+
+class TestHeadGridded:
+    """Head-gridded variant (one head per grid program) for sequences whose
+    whole-width block exceeds VMEM — ViT-L/14 S=257, ViT-B/16 S=197."""
+
+    def _inputs(self, B=3, S=29, W=256, H=4, seed=7):
+        rng = np.random.default_rng(seed)
+        qkv = jnp.asarray(rng.normal(size=(B, S, 3 * W)), jnp.float32)
+        return qkv, rng
+
+    def _reference(self, qkv, bias, H, scale):
+        B, S, W3 = qkv.shape
+        W = W3 // 3
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        to_heads = lambda t: t.reshape(B, S, H, W // H).transpose(0, 2, 1, 3)
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        if bias is not None:
+            logits = logits + bias
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+        return out.transpose(0, 2, 1, 3).reshape(B, S, W)
+
+    def test_forward_matches_reference(self):
+        from clip_event_tpu.ops.attention_pallas import fused_attention_qkv_headgrid
+
+        qkv, _ = self._inputs()
+        scale = (256 // 4) ** -0.5
+        ref = np.asarray(self._reference(qkv, None, 4, scale))
+        ours = np.asarray(
+            fused_attention_qkv_headgrid(qkv, None, 4, scale, True)
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+    def test_forward_with_bias_and_padding(self):
+        from clip_event_tpu.models.layers import causal_mask
+        from clip_event_tpu.ops.attention_pallas import fused_attention_qkv_headgrid
+
+        qkv, _ = self._inputs(B=5, S=13, W=128, H=2)  # B not divisible by tb
+        bias = causal_mask(13)
+        scale = 64**-0.5
+        ref = np.asarray(self._reference(qkv, bias, 2, scale))
+        ours = np.asarray(fused_attention_qkv_headgrid(qkv, bias, 2, scale, True))
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+    def test_gradients_match_reference(self):
+        from clip_event_tpu.ops.attention_pallas import fused_attention_qkv_headgrid
+
+        qkv, rng = self._inputs(B=2, S=11, W=128, H=2)
+        scale = 64**-0.5
+        cot = jnp.asarray(rng.normal(size=(2, 11, 128)), jnp.float32)
+
+        ref_grad = jax.grad(
+            lambda q: jnp.sum(self._reference(q, None, 2, scale) * cot)
+        )(qkv)
+        our_grad = jax.grad(
+            lambda q: jnp.sum(
+                fused_attention_qkv_headgrid(q, None, 2, scale, True) * cot
+            )
+        )(qkv)
+        np.testing.assert_allclose(
+            np.asarray(our_grad), np.asarray(ref_grad), atol=1e-4, rtol=1e-4
+        )
+
+    def test_layer_dispatch_uses_headgrid_for_large_seq(self):
+        """ViT-L/14-shaped attention under impl=pallas must take the
+        head-gridded kernel (not einsum) and match the einsum numerics."""
+        from clip_event_tpu.models import layers as L
+        from clip_event_tpu.ops.attention_pallas import head_grid_supported
+
+        assert head_grid_supported(257, 1024, 16)
+        assert head_grid_supported(197, 768, 12)
+
+        rng = np.random.default_rng(2)
+        B, S, W, H = 2, 257, 1024, 16
+        x = jnp.asarray(rng.normal(size=(B, S, W)) * 0.1, jnp.float32)
+        params = {
+            "qkv_w": jnp.asarray(rng.normal(size=(W, 3 * W)) * 0.02, jnp.float32),
+            "qkv_b": jnp.zeros(3 * W),
+            "out_w": jnp.asarray(rng.normal(size=(W, W)) * 0.02, jnp.float32),
+            "out_b": jnp.zeros(W),
+        }
+        ref = np.asarray(L.multi_head_attention(x, params, H, None, impl="xla"))
+        L.set_attention_impl("pallas")
+        try:
+            ours = np.asarray(L.multi_head_attention(x, params, H, None))
+        finally:
+            L.set_attention_impl("xla")
+        np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
