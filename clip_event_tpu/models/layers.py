@@ -123,38 +123,23 @@ def multi_head_attention(
         # working set), or the einsum path if even one head is too big
         kind = "pallas_hg" if head_grid_supported(S, W, num_heads) else "xla"
 
-    if kind == "pallas_hg":
-        from clip_event_tpu.ops.attention_pallas import (
-            fused_attention_qkv_headgrid,
-            sharded_attention,
-        )
-        from clip_event_tpu.parallel.mesh import DATA_AXIS
-
-        if mesh is not None and DATA_AXIS in mesh.axis_names and B % mesh.devices.size == 0:
-            out = sharded_attention(
-                fused_attention_qkv_headgrid, qkv, attn_bias, num_heads, scale,
-                mesh, DATA_AXIS,
-            )
-        else:
-            out = fused_attention_qkv_headgrid(qkv, attn_bias, num_heads, scale)
-        out = checkpoint_name(out, "attn_core_out")
-        return linear(out, params["out_w"], params["out_b"])
-
-    if kind == "pallas":
+    if kind in ("pallas", "pallas_hg"):
         # Fused VMEM-resident attention core: consumes the packed projection
         # directly (heads sliced inside the kernel), returns the concatenated
         # [B, S, W] the out-projection wants — no HLO transposes, no
         # logits/probs HBM round trip.
         from clip_event_tpu.ops.attention_pallas import (
             fused_attention_qkv,
-            fused_attention_qkv_sharded,
+            fused_attention_qkv_headgrid,
+            sharded_attention,
         )
         from clip_event_tpu.parallel.mesh import DATA_AXIS
 
+        kernel_fn = fused_attention_qkv if kind == "pallas" else fused_attention_qkv_headgrid
         if mesh is not None and DATA_AXIS in mesh.axis_names and B % mesh.devices.size == 0:
-            out = fused_attention_qkv_sharded(qkv, attn_bias, num_heads, scale, mesh, DATA_AXIS)
+            out = sharded_attention(kernel_fn, qkv, attn_bias, num_heads, scale, mesh, DATA_AXIS)
         else:
-            out = fused_attention_qkv(qkv, attn_bias, num_heads, scale)
+            out = kernel_fn(qkv, attn_bias, num_heads, scale)
         out = checkpoint_name(out, "attn_core_out")
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -257,33 +257,34 @@ def _hg_heads(head_dim: int) -> int:
     return _HG_LANES // head_dim
 
 
-def _hg_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads, width, scale):
-    # refs are [TB, S, 128] lane-blocks; treat as a width-128, `heads`-head
-    # packed attention and reuse the per-head slicing helpers
-    q = q_ref[...].astype(jnp.float32)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    tb, s, _ = q.shape
+def _hg_stack(t, heads):
+    """[TB, S, 128] lane-block → [heads·TB, S, D] (heads onto the batch
+    axis, same move as `_split_heads` for the whole-width kernel)."""
+    tb, s, _ = t.shape
     d = _HG_LANES // heads
-    stack = lambda t: jnp.concatenate(
+    return jnp.concatenate(
         [t[:, :, h * d : (h + 1) * d][None] for h in range(heads)], 0
     ).reshape(heads * tb, s, d)
-    p = _probs(stack(q), stack(k), bias_ref[...], scale)
-    out = jax.lax.dot_general(p, stack(v), _PV, preferred_element_type=jnp.float32)
+
+
+def _hg_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads, scale):
+    # refs are [TB, S, 128] lane-blocks = a width-128, `heads`-head attention
+    tb = q_ref.shape[0]
+    q = _hg_stack(q_ref[...].astype(jnp.float32), heads)
+    k = _hg_stack(k_ref[...].astype(jnp.float32), heads)
+    v = _hg_stack(v_ref[...].astype(jnp.float32), heads)
+    p = _probs(q, k, bias_ref[...], scale)
+    out = jax.lax.dot_general(p, v, _PV, preferred_element_type=jnp.float32)
     o_ref[...] = _merge_heads(out, heads, tb).astype(o_ref.dtype)
 
 
 def _hg_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
-                   dq_ref, dk_ref, dv_ref, *, heads, width, scale):
-    tb, s, _ = q_ref.shape
-    d = _HG_LANES // heads
-    stack = lambda t: jnp.concatenate(
-        [t[:, :, h * d : (h + 1) * d][None] for h in range(heads)], 0
-    ).reshape(heads * tb, s, d)
-    q = stack(q_ref[...].astype(jnp.float32))
-    k = stack(k_ref[...].astype(jnp.float32))
-    v = stack(v_ref[...].astype(jnp.float32))
-    do = stack(do_ref[...].astype(jnp.float32))
+                   dq_ref, dk_ref, dv_ref, *, heads, scale):
+    tb = q_ref.shape[0]
+    q = _hg_stack(q_ref[...].astype(jnp.float32), heads)
+    k = _hg_stack(k_ref[...].astype(jnp.float32), heads)
+    v = _hg_stack(v_ref[...].astype(jnp.float32), heads)
+    do = _hg_stack(do_ref[...].astype(jnp.float32), heads)
 
     p = _probs(q, k, bias_ref[...], scale)
     dv = jax.lax.dot_general(p, do, _PT_DO, preferred_element_type=jnp.float32)
@@ -299,11 +300,14 @@ def _hg_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref,
 
 def _hg_block_bytes(tb: int, seq_len: int, heads: int) -> int:
     """Backward working set per program: 7 f32 [heads·TB, S, D→128-lane]
-    tensors (q, k, v, do, dq, dk, dv) + 3 probability tensors + bf16 io."""
+    tensors (q, k, v, do, dq, dk, dv), 3 probability tensors, the double-
+    buffered bf16 io streams (q/k/v/do in + dq/dk/dv out = 7), and the
+    [S, S] f32 bias block."""
     sp = _round_up(seq_len, 128)
     f32 = 4 * (7 * heads * tb * seq_len * _HG_LANES + 3 * heads * tb * seq_len * sp)
-    io = 2 * 2 * 5 * tb * seq_len * _HG_LANES
-    return f32 + io
+    io = 2 * 2 * 7 * tb * seq_len * _HG_LANES
+    bias = 4 * seq_len * sp
+    return f32 + io + bias
 
 
 def head_grid_supported(seq_len: int, width: int, num_heads: int) -> bool:
@@ -365,7 +369,7 @@ def _hg_fwd(qkv, bias, num_heads, scale, interpret):
     B, S, _ = qkv.shape
     qp, b, width, heads, tb = _hg_prep(qkv, bias, num_heads)
     qs, ks, vs, bs, os = _hg_specs(tb, S, width)
-    kernel = functools.partial(_hg_fwd_kernel, heads=heads, width=width, scale=scale)
+    kernel = functools.partial(_hg_fwd_kernel, heads=heads, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=(qp.shape[0] // tb, width // _HG_LANES),
@@ -385,7 +389,7 @@ def _hg_bwd(num_heads, scale, interpret, residuals, g):
     bp = qp.shape[0]
     gp = g if bp == B else jnp.pad(g, [(0, bp - B), (0, 0), (0, 0)])
     qs, ks, vs, bs, os = _hg_specs(tb, S, width)
-    kernel = functools.partial(_hg_bwd_kernel, heads=heads, width=width, scale=scale)
+    kernel = functools.partial(_hg_bwd_kernel, heads=heads, scale=scale)
     shape = jax.ShapeDtypeStruct((bp, S, width), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
         kernel,

@@ -254,14 +254,33 @@ class TestHeadGridded:
 
     def test_forward_with_bias_and_padding(self):
         from clip_event_tpu.models.layers import causal_mask
-        from clip_event_tpu.ops.attention_pallas import fused_attention_qkv_headgrid
+        from clip_event_tpu.ops.attention_pallas import (
+            _hg_pick_tb,
+            fused_attention_qkv_headgrid,
+        )
 
-        qkv, _ = self._inputs(B=5, S=13, W=128, H=2)  # B not divisible by tb
-        bias = causal_mask(13)
+        # S=257 forces tb=2 (VMEM budget), so B=5 genuinely exercises the
+        # batch-padding branch (bp=6) in both fwd and bwd
+        assert _hg_pick_tb(5, 257, 2) == 2
+        qkv, rng = self._inputs(B=5, S=257, W=128, H=2)
+        bias = causal_mask(257)
         scale = 64**-0.5
         ref = np.asarray(self._reference(qkv, bias, 2, scale))
         ours = np.asarray(fused_attention_qkv_headgrid(qkv, bias, 2, scale, True))
         np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+        cot = jnp.asarray(rng.normal(size=(5, 257, 128)), jnp.float32)
+        g_ref = jax.grad(
+            lambda q: jnp.sum(self._reference(q, bias, 2, scale) * cot)
+        )(qkv)
+        g_ours = jax.grad(
+            lambda q: jnp.sum(
+                fused_attention_qkv_headgrid(q, bias, 2, scale, True) * cot
+            )
+        )(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g_ours), np.asarray(g_ref), atol=1e-4, rtol=1e-4
+        )
 
     def test_gradients_match_reference(self):
         from clip_event_tpu.ops.attention_pallas import fused_attention_qkv_headgrid
@@ -301,9 +320,24 @@ class TestHeadGridded:
             "out_b": jnp.zeros(W),
         }
         ref = np.asarray(L.multi_head_attention(x, params, H, None, impl="xla"))
+
+        # the head-gridded kernel must actually be invoked (a silent einsum
+        # fallback would pass the numeric check — the 'exact parity' trap)
+        from clip_event_tpu.ops import attention_pallas
+
+        calls = []
+        orig = attention_pallas.fused_attention_qkv_headgrid
+
+        def counting(qkv, b, h, scale, interpret=False):
+            calls.append(qkv.shape)
+            return orig(qkv, b, h, scale, interpret)
+
         L.set_attention_impl("pallas")
+        attention_pallas.fused_attention_qkv_headgrid = counting
         try:
             ours = np.asarray(L.multi_head_attention(x, params, H, None))
         finally:
+            attention_pallas.fused_attention_qkv_headgrid = orig
             L.set_attention_impl("xla")
+        assert calls, "head-gridded kernel was not invoked"
         np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
