@@ -56,6 +56,11 @@ def main():
     mesh = make_mesh(n_chips)
     # flagship config: fused packed-QKV pallas attention (339→239 ms/step)
     set_attention_impl("pallas", mesh)
+    unroll_env = os.environ.get("BENCH_UNROLL")
+    if unroll_env:
+        from clip_event_tpu.models.layers import set_scan_unroll
+
+        set_scan_unroll("full" if unroll_env == "full" else int(unroll_env))
 
     B = BATCH_PER_CHIP * n_chips
     D = NUM_POS + NUM_NEG

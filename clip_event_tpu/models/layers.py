@@ -180,6 +180,20 @@ def residual_block(
     return x + h
 
 
+# Scan-unroll policy for the layer stack. Full unroll wins ~8-15% on the
+# isolated tower gradient but LOSES ~4% on the full train step and doubles
+# compile time (PERFORMANCE.md "Scan unroll"), so the default stays 1.
+# Resolved in `transformer` (never inside the checkpointed block — see the
+# attention-impl cache note above).
+_SCAN_UNROLL = 1
+
+
+def set_scan_unroll(unroll) -> None:
+    """1 (rolled scan, fastest compile), an int factor, or "full"."""
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = unroll
+
+
 # remat mode → jax.checkpoint policy. True/'full' recomputes everything
 # (minimum memory); 'dots' saves every matmul output (no matmul recompute,
 # max memory); 'dots_nobatch' excludes the batched attention einsums;
@@ -199,7 +213,7 @@ def transformer(
     num_heads: int,
     attn_bias: Optional[jnp.ndarray] = None,
     remat=False,
-    unroll: int = 1,
+    unroll=None,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Run a stack of residual blocks via lax.scan over the leading L axis.
@@ -214,6 +228,10 @@ def transformer(
     """
     if impl is None:
         impl = _resolve_impl()
+    if unroll is None:
+        unroll = _SCAN_UNROLL
+    if unroll == "full":
+        unroll = jax.tree.leaves(stacked_params)[0].shape[0]
     block = residual_block
     if remat:
         mode = "full" if remat is True else str(remat)

@@ -387,16 +387,22 @@ def bench_unroll():
     )
     bias = layers.causal_mask(cfg.context_length)
 
-    for unroll in (1, 4, 12):
-        def fwd(p, xx, c, _u=unroll):
-            return layers.transformer(
-                xx * (1 + c * 1e-12), p, cfg.transformer_heads, bias, remat=True, unroll=_u
-            )
+    for impl in ("xla", ("pallas", None)):
+        tag = "xla" if impl == "xla" else "pallas"
+        for unroll in (1, 4, 12):
+            def fwd(p, xx, c, _u=unroll, _i=impl):
+                return layers.transformer(
+                    xx * (1 + c * 1e-12), p, cfg.transformer_heads, bias,
+                    remat=True, unroll=_u, impl=_i,
+                )
 
-        try:
-            _tower_grad_bench(f"text stack grad, remat, unroll={unroll}", tt, x, fwd)
-        except Exception as e:
-            print(f"text stack unroll={unroll:<2d} FAILED: {type(e).__name__}", flush=True)
+            try:
+                _tower_grad_bench(
+                    f"text stack grad, remat, {tag}, unroll={unroll}", tt, x, fwd
+                )
+            except Exception as e:
+                print(f"text stack {tag} unroll={unroll:<2d} FAILED: {type(e).__name__}",
+                      flush=True)
 
 
 def bench_textsplit():
