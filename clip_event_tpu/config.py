@@ -140,10 +140,16 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         raise ConfigError(
             "multiattention must be bool or one of desc/desc_type/desc_type_text"
         )
-    if out["multiattention"] and not (out["load_sr"] or out["load_object"]):
-        raise ConfigError(
-            "multiattention needs a bbox channel: set load_sr=true or load_object=true"
-        )
+    if out["multiattention"]:
+        if not (out["load_sr"] or out["load_object"]):
+            raise ConfigError(
+                "multiattention needs a bbox channel: set load_sr=true or load_object=true"
+            )
+        # the local-attention loss consumes the bbox channel, which the
+        # dataset emits under load_sr (built from the same detections
+        # pickle load_object uses) — switch it on so multiattention +
+        # load_object alone doesn't produce a bbox-less batch
+        out["load_sr"] = True
     if out["multiattention_pooling"] not in ("mean", "attention"):
         raise ConfigError("multiattention_pooling must be 'mean' or 'attention'")
     return out

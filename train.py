@@ -295,6 +295,12 @@ def main():
 
         if writer is not None:
             writer.add_scalar("train_loss", metric_logger.loss.global_avg, epoch)
+            # per-branch loss components (loss_i/loss_t/loss_ot/loss_bbox/…):
+            # epoch means, so every enabled branch is visible in the scalar
+            # stream (the reference logs only the total, engine.py:106-110)
+            for name, meter in metric_logger.meters.items():
+                if name.startswith("loss_"):
+                    writer.add_scalar(name, meter.global_avg, epoch)
 
         # optional validation: zero-shot image-caption matching (tracks perf,
         # realizing the reference's unimplemented "evaluate after every
