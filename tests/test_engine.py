@@ -489,3 +489,56 @@ def test_train_cli_kitchen_sink(tmp_path):
     for s in scalars:
         if s["tag"].startswith(("loss", "train_loss")):
             assert np.isfinite(s["value"])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("loss,overbatch", [("bce", False), ("kl", True)])
+def test_train_cli_bce_kl_layouts(tmp_path, loss, overbatch):
+    """The bce (per-instance) and kl (over-batch) label layouts through the
+    full CLI: loader-built labels → jitted step (layouts are otherwise only
+    unit-tested against the reference criterion)."""
+    voa = make_voa_fixture(str(tmp_path / "voa"), num_docs=4)
+    cfg = {
+        "task": f"smoke_{loss}",
+        "constrastive_loss": loss,
+        "constrastive_overbatch": overbatch,
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "is_train": True,
+        "begin_epoch": 0,
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "weight_decay": 0.0,
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 1,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    scalars = [
+        json.loads(line)
+        for line in open(
+            tmp_path / "logs" / f"smoke_{loss}" / "tensorboard" / "scalars.jsonl"
+        )
+    ]
+    losses = [s["value"] for s in scalars if s["tag"] == "train_loss"]
+    assert losses and all(np.isfinite(v) for v in losses)
