@@ -542,3 +542,47 @@ def test_train_cli_bce_kl_layouts(tmp_path, loss, overbatch):
     ]
     losses = [s["value"] for s in scalars if s["tag"] == "train_loss"]
     assert losses and all(np.isfinite(v) for v in losses)
+
+
+@pytest.mark.slow
+def test_eval_cli_from_orbax_checkpoint(tmp_path):
+    """The eval CLIs' `ckpt` branch: restore an orbax checkpoint dir
+    (template-free params restore) and evaluate — previously only the
+    random-init branch was covered."""
+    from clip_event_tpu.engine.checkpoint import save_checkpoint
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.models import init_params
+    from tests.test_evals import TINY_EVAL
+
+    params = init_params(jax.random.PRNGKey(3), TINY_EVAL)
+    opt = build_optimizer("adam", build_schedule("none", 1e-4, 1))
+    ckpt = save_checkpoint(
+        str(tmp_path / "ckpt"), "evalsrc", 0, params, opt.init(params)
+    )
+
+    voa = make_voa_fixture(str(tmp_path / "voa"), num_docs=4)
+    cfg = {
+        "dataset": "voa",
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt": ckpt,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+        "batch_size": 4,
+        "output_json": str(tmp_path / "metrics.json"),
+    }
+    cfg_path = tmp_path / "eval_cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "eval_matching.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = json.load(open(cfg["output_json"]))
+    assert metrics["num_pairs"] == 4
