@@ -586,3 +586,60 @@ def test_eval_cli_from_orbax_checkpoint(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     metrics = json.load(open(cfg["output_json"]))
     assert metrics["num_pairs"] == 4
+
+
+@pytest.mark.slow
+def test_train_cli_torch_bootstrap(tmp_path):
+    """`"jit": true, "begin_ckpt": <.pth>` bootstraps training from a torch
+    checkpoint via the CLI, with the architecture inferred from tensor
+    shapes (reference `train.py:101-106`); previously only the import
+    helper was unit-tested."""
+    pytest.importorskip("torch")
+    from clip_event_tpu.engine.checkpoint import export_torch_checkpoint
+    from clip_event_tpu.models import init_params
+    from tests.test_evals import TINY_EVAL
+
+    params = init_params(jax.random.PRNGKey(5), TINY_EVAL)
+    pth = str(tmp_path / "boot.pth")
+    export_torch_checkpoint(pth, params, TINY_EVAL, epoch=0, task="boot")
+
+    voa = make_voa_fixture(str(tmp_path / "voa"), num_docs=4)
+    cfg = {
+        "task": "boot",
+        "constrastive_loss": "ce",
+        "constrastive_overbatch": True,
+        "jit": True,
+        "begin_ckpt": pth,
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "is_train": True,
+        "begin_epoch": 0,
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "weight_decay": 0.0,
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 1,
+        # note: no "model" key — the architecture must come from the
+        # checkpoint's tensor shapes
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "imported torch checkpoint" in (proc.stderr + proc.stdout)
+    assert any(
+        name.startswith("boot_0")
+        for name in os.listdir(tmp_path / "ckpt" / "boot")
+    )
