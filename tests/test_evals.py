@@ -1,6 +1,8 @@
 """Dataset + zero-shot eval driver tests on synthetic fixtures with a tiny
 real-vocab CLIP (context 77, vocab 49408, 32² images)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -257,3 +259,75 @@ def test_gsr_eval_object_grounding(tmp_path, params):
     assert m["ground_via"] == "objects"
     assert m["grounded_args"] == 6
     assert 0.0 <= m["grounding_acc"] <= 1.0
+
+
+TINY_MODEL_DICT = {
+    "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+    "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+    "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+    "transformer_layers": 2,
+}
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_eval_cli(script, cfg, tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    cfg = dict(cfg, model=TINY_MODEL_DICT, batch_size=4,
+               output_json=str(tmp_path / "out.json"))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, script), "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=_REPO, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, f"{script}: {proc.stderr[-3000:]}"
+    return _json.load(open(cfg["output_json"]))
+
+
+@pytest.mark.slow
+def test_every_eval_cli_end_to_end(tmp_path):
+    """Each documented eval entry point runs as a real subprocess with its
+    documented config keys (the drivers' dataset wiring is otherwise only
+    exercised for m2e2/matching)."""
+    from tests.fixtures import (
+        make_retrieval_fixture,
+        make_swig_fixture,
+        make_vcr_fixture,
+        make_visualcomet_fixture,
+    )
+
+    swig = make_swig_fixture(str(tmp_path / "swig"))
+    m = _run_eval_cli("eval_gsr.py", {
+        "anno_json": swig["anno_json"], "image_dir": swig["image_dir"],
+        "ontology_json": swig["ontology_json"],
+    }, tmp_path)
+    assert "verb_top1" in m or "grounded_args" in m
+
+    vcr = make_vcr_fixture(str(tmp_path / "vcr"))
+    m = _run_eval_cli("eval_vcr.py", {
+        "qa_jsonl": vcr["qa_jsonl"], "image_dir": vcr["image_dir"],
+    }, tmp_path)
+    assert m["num_questions"] == 5
+
+    ret = make_retrieval_fixture(str(tmp_path / "ret"))
+    m = _run_eval_cli("eval_retrieval.py", {
+        "dataset": "coco", "caption_file": ret["coco_json"],
+        "image_dir": ret["coco_dir"],
+    }, tmp_path)
+    assert m["num_images"] == 4
+    m = _run_eval_cli("eval_retrieval.py", {
+        "dataset": "flickr", "split_list": ret["flickr_split"],
+        "caption_file": ret["flickr_csv"], "image_dir": ret["flickr_dir"],
+    }, tmp_path)
+    assert m["num_images"] == 4
+
+    vc = make_visualcomet_fixture(str(tmp_path / "vc"))
+    m = _run_eval_cli("eval_visualcomet.py", {
+        "anno_json": vc["anno_json"], "image_dir": vc["image_dir"],
+    }, tmp_path)
+    assert m["num_images"] == 5
