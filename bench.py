@@ -26,7 +26,16 @@ import numpy as np
 V100_BASELINE_PAIRS_PER_SEC = 90.0
 
 BENCH_MODEL = os.environ.get("BENCH_MODEL", "ViT-B/32")
-_DEFAULT_BATCH = {"ViT-B/32": 384, "ViT-B/16": 96, "ViT-L/14": 64, "RN50": 128}
+_DEFAULT_BATCH = {
+    "ViT-B/32": 384,
+    "ViT-B/16": 96,
+    "ViT-L/14": 64,
+    "RN50": 128,
+    "RN101": 96,
+    "RN50x4": 64,
+}
+if BENCH_MODEL not in _DEFAULT_BATCH and "BENCH_BATCH" not in os.environ:
+    print(f"# BENCH_MODEL={BENCH_MODEL} has no swept default batch; using 64")
 BATCH_PER_CHIP = int(
     os.environ.get("BENCH_BATCH", _DEFAULT_BATCH.get(BENCH_MODEL, 64))
 )

@@ -37,12 +37,10 @@ def main():
         def __getitem__(self, idx):
             return {"image": load_image_file(paths[idx], 224)}, {}
 
-    results = {}
-    for native_flag, tag in (("1", "native"), ("0", "python_pil")):
-        os.environ["CLIP_EVENT_NATIVE"] = native_flag
+    def throughput(num_workers: int) -> float:
         loader = DataLoader(
-            JpegDataset(), batch_size=32, shuffle=False, num_workers=os.cpu_count() or 8,
-            drop_last=False,
+            JpegDataset(), batch_size=32, shuffle=False,
+            num_workers=num_workers, drop_last=False,
         )
         # warm one batch (builds the native lib / caches coefficients)
         next(iter(loader))
@@ -50,10 +48,25 @@ def main():
         seen = 0
         for tensors, _ in loader:
             seen += tensors["image"].shape[0]
-        dt = time.perf_counter() - t0
-        results[f"{tag}_images_per_sec"] = round(seen / dt, 1)
+        return seen / (time.perf_counter() - t0)
 
+    results = {}
+    for native_flag, tag in (("1", "native"), ("0", "python_pil")):
+        os.environ["CLIP_EVENT_NATIVE"] = native_flag
+        results[f"{tag}_images_per_sec"] = round(
+            throughput(os.cpu_count() or 8), 1
+        )
+
+    # thread-scaling sweep on the native path: the ctypes decode path
+    # releases the GIL, so throughput should track threads up to the
+    # physical core count (on a 1-core host this measures contention)
     os.environ["CLIP_EVENT_NATIVE"] = "1"
+    for w in (1, 2, 4):
+        results[f"native_{w}w_images_per_sec"] = round(throughput(w), 1)
+    results["thread_scaling_4w_over_1w"] = round(
+        results["native_4w_images_per_sec"]
+        / max(results["native_1w_images_per_sec"], 1e-9), 2
+    )
     results["speedup"] = round(
         results["native_images_per_sec"] / results["python_pil_images_per_sec"], 2
     )

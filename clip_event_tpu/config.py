@@ -20,6 +20,7 @@ optional key. New TPU-specific keys are additive and default sensibly:
 from __future__ import annotations
 
 import json
+import logging
 from typing import Any, Dict
 
 _CHOICES = {
@@ -149,7 +150,16 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         # dataset emits under load_sr (built from the same detections
         # pickle load_object uses) — switch it on so multiattention +
         # load_object alone doesn't produce a bbox-less batch
-        out["load_sr"] = True
+        if not out["load_sr"]:
+            if "load_sr" in cfg and cfg["load_sr"] in (False, 0):
+                raise ConfigError(
+                    "multiattention requires the bbox channel: load_sr was "
+                    "explicitly false — remove it or set load_sr=true"
+                )
+            logging.getLogger(__name__).warning(
+                "multiattention set: enabling load_sr=true (bbox channel)"
+            )
+            out["load_sr"] = True
     if out["multiattention_pooling"] not in ("mean", "attention"):
         raise ConfigError("multiattention_pooling must be 'mean' or 'attention'")
     return out

@@ -109,6 +109,7 @@ class MetricLogger:
         except TypeError:
             total = None
         i = 0
+        warned_data_bound = False
         end = time.time()
         for obj in iterable:
             data_time.update(time.time() - end)
@@ -123,6 +124,20 @@ class MetricLogger:
                 log.info(
                     "%s %s %s%s  time: %s  data: %s",
                     header, count, eta, str(self), iter_time, data_time,
+                )
+            if (
+                not warned_data_bound
+                and i >= 8  # past the compile/warm-up steps
+                and data_time.avg > 0.5 * iter_time.avg
+            ):
+                warned_data_bound = True
+                log.warning(
+                    "input pipeline is the bottleneck: data wait %.3fs per "
+                    "step vs %.3fs total — the accelerator is idle %.0f%% of "
+                    "the time. Raise num_workers / prefetch, or check that "
+                    "the native decode path is active (CLIP_EVENT_NATIVE=1).",
+                    data_time.avg, iter_time.avg,
+                    100.0 * data_time.avg / max(iter_time.avg, 1e-9),
                 )
             i += 1
             end = time.time()

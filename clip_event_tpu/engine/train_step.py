@@ -68,7 +68,7 @@ def loss_fn(
     if alignment:
         object_feats, entity_feats = clip_model.sim_entity(
             params, cfg, batch["object_image"], batch["entity_text"],
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, remat=remat,
         )
         loss_dict["loss_ot"] = alignment_loss(
             entity_feats,

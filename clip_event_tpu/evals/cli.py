@@ -50,10 +50,22 @@ def run(description: str, evaluate) -> None:
         cfg = json.load(fh)
     if cfg.get("use_pallas_attention", True):
         # same flagship attention path as training (PERFORMANCE.md); evals
-        # run single-chip jit, so no mesh is needed
-        from clip_event_tpu.models.layers import set_attention_impl
+        # run single-chip jit, so no mesh is needed. On non-TPU backends the
+        # kernel would only run in Mosaic interpret mode (orders of magnitude
+        # slower than the XLA einsum path), so keep XLA there — interpret mode
+        # is for tests, not production eval runs.
+        import jax
 
-        set_attention_impl("pallas")
+        if jax.default_backend() == "tpu":
+            from clip_event_tpu.models.layers import set_attention_impl
+
+            set_attention_impl("pallas")
+        else:
+            logging.info(
+                "use_pallas_attention requested but backend is %s — using the "
+                "XLA attention path (Pallas interpret mode is test-only)",
+                jax.default_backend(),
+            )
     params, mcfg = load_model_from_cfg(cfg)
     metrics = evaluate(cfg, params, mcfg)
     print(json.dumps(metrics, indent=2))

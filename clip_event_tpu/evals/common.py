@@ -4,16 +4,78 @@ All evals reduce to: encode every image and every candidate text with the
 jitted normalized encoders (fixed batch shapes — the last partial batch is
 padded, never a recompile), then score cosine logits on the host. The
 reference documents these entry points but ships none (`README.md:212-229`).
+
+Multi-process runs shard the dataset across processes (the TPU analogue of
+the reference's `gather_tensors`/`all_gather` merging, `utils.py:94-206`):
+each rank encodes its rank-strided slice, per-rank results are all-gathered
+and re-interleaved into global order, so every process computes identical
+metrics over the full set at 1/world_size of the encode cost.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from clip_event_tpu.engine.train_step import make_eval_encoders
 from clip_event_tpu.models.clip import CLIPConfig
+
+
+def resolve_shard(rank: Optional[int], world_size: Optional[int]) -> Tuple[int, int]:
+    """Default the eval shard to this process's position in the job: under
+    multi-process training every rank evaluates its own slice; standalone
+    CLIs see (0, 1)."""
+    if rank is None or world_size is None:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    return rank, world_size
+
+
+def eval_loader(dataset, batch_size: int, num_workers: int = 8,
+                rank: int = 0, world_size: int = 1):
+    """The canonical eval DataLoader: deterministic order, no dropped tail,
+    rank-strided sharding."""
+    from clip_event_tpu.data.common import DataLoader
+
+    return DataLoader(
+        dataset, batch_size=min(batch_size, len(dataset)), shuffle=False,
+        drop_last=False, num_workers=num_workers, rank=rank,
+        world_size=world_size,
+    )
+
+
+def merge_across_ranks(n: int, world_size: int, *parts):
+    """All-gather per-rank strided results and weave them back into global
+    dataset order.
+
+    Each rank's loader yields indices `padded[rank::world_size]` where
+    `padded` wraps the first examples to equalize counts
+    (`data.common.DataLoader._indices`); re-interleaving the gathered slices
+    and trimming to `n` drops exactly that wrap-around padding. Accepts
+    numpy arrays (stacked along axis 0) and lists (e.g. metas)."""
+    if world_size <= 1:
+        return parts if len(parts) > 1 else parts[0]
+    from clip_event_tpu.parallel.collectives import all_gather_objects
+
+    gathered = all_gather_objects(parts)
+    per_rank = -(-n // world_size)
+    total = per_rank * world_size
+    outs = []
+    for j in range(len(parts)):
+        ranks_j = [g[j] for g in gathered]
+        if isinstance(ranks_j[0], np.ndarray):
+            out = np.empty((total,) + ranks_j[0].shape[1:], ranks_j[0].dtype)
+            for r, p in enumerate(ranks_j):
+                out[r::world_size] = p
+            outs.append(out[:n])
+        else:
+            out: List = [None] * total
+            for r, p in enumerate(ranks_j):
+                out[r::world_size] = p
+            outs.append(out[:n])
+    return tuple(outs) if len(outs) > 1 else outs[0]
 
 
 class Encoders:

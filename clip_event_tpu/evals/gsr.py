@@ -20,9 +20,13 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from clip_event_tpu.data.common import DataLoader
 from clip_event_tpu.data.sr import GSRDataset
-from clip_event_tpu.evals.common import Encoders
+from clip_event_tpu.evals.common import (
+    Encoders,
+    eval_loader,
+    merge_across_ranks,
+    resolve_shard,
+)
 from clip_event_tpu.models import clip as clip_model
 from clip_event_tpu.ops.bbox import iou_batch
 
@@ -85,6 +89,8 @@ def evaluate_gsr(
     ground_topk: int = 4,
     iou_threshold: float = 0.5,
     ground_via: str = "grid",
+    rank=None,
+    world_size=None,
 ) -> dict:
     """ground_via: 'grid' predicts a top-k patch-window box from the role→
     grid-token heat map; 'objects' ranks the *detected object boxes* by the
@@ -100,19 +106,27 @@ def evaluate_gsr(
     if do_grounding and ground_via == "objects" and not dataset.load_object:
         raise ValueError("ground_via='objects' needs dataset.load_object=True")
 
-    B = min(batch_size, len(dataset))
-    loader = DataLoader(
-        dataset, batch_size=B, shuffle=False, drop_last=False, num_workers=8,
-    )
+    rank, world_size = resolve_shard(rank, world_size)
+    loader = eval_loader(dataset, batch_size, rank=rank, world_size=world_size)
+    B = loader.batch_size
     enc = Encoders(params, cfg, batch_size=batch_size)
     grid = cfg.grid_size
     grid_fn = _grid_features_fn(cfg) if do_grounding else None
 
     image_feats, gold_verbs = [], []
     hits, total = 0, 0
+    offset = 0  # local example index, for the wrap-around-padding mask
     for batch, metas_b in loader:
         images = np.asarray(batch["image"])
         b = images.shape[0]
+        # examples whose global strided position falls past len(dataset) are
+        # the loader's count-equalizing duplicates — exclude them from the
+        # streamed grounding counts (per-example arrays are deduped by
+        # merge_across_ranks instead)
+        genuine = (
+            rank + (offset + np.arange(b)) * world_size < len(dataset)
+        )  # [b]
+        offset += b
         image_feats.append(enc.images(images))
         gold_verbs.append(np.asarray(batch["verb_idx"]))
         if not do_grounding:
@@ -131,7 +145,7 @@ def evaluate_gsr(
         role_feats = enc.texts(role_text.reshape(b * R, -1)).reshape(b, R, -1)
         role_mask = np.asarray(batch["role_mask"]).astype(bool)  # [b, R]
         role_bbox = np.asarray(batch["role_bbox"], np.float32)  # [b, R, 4]
-        valid = role_mask & (role_bbox[..., 0] >= 0)
+        valid = role_mask & (role_bbox[..., 0] >= 0) & genuine[:, None]
 
         if ground_via == "objects":
             box_arr, box_mask = _pad_object_boxes(metas_b, b)
@@ -158,8 +172,15 @@ def evaluate_gsr(
         hits += int(((ious >= iou_threshold) & valid).sum())
         total += int(valid.sum())
 
-    image_feats = np.concatenate(image_feats)
-    gold = np.concatenate(gold_verbs)
+    image_feats, gold = merge_across_ranks(
+        len(dataset), world_size,
+        np.concatenate(image_feats), np.concatenate(gold_verbs),
+    )
+    if world_size > 1:
+        from clip_event_tpu.parallel.collectives import all_gather_objects
+
+        counts = all_gather_objects((hits, total))
+        hits, total = (sum(c[0] for c in counts), sum(c[1] for c in counts))
     cand_feats = enc.texts(dataset.candidate_tokens)
     logits = image_feats @ cand_feats.T
     order = np.argsort(-logits, axis=1)

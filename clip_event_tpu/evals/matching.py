@@ -10,20 +10,26 @@ from __future__ import annotations
 
 import numpy as np
 
-from clip_event_tpu.data.common import DataLoader
-from clip_event_tpu.evals.common import Encoders, collect_encoded
+from clip_event_tpu.evals.common import (
+    Encoders,
+    collect_encoded,
+    eval_loader,
+    merge_across_ranks,
+    resolve_shard,
+)
 
 
-def evaluate_matching(params, cfg, dataset, batch_size: int = 32) -> dict:
-    loader = DataLoader(
-        dataset, batch_size=min(batch_size, len(dataset)), shuffle=False,
-        drop_last=False, num_workers=8,
-    )
+def evaluate_matching(params, cfg, dataset, batch_size: int = 32,
+                      rank=None, world_size=None) -> dict:
+    rank, world_size = resolve_shard(rank, world_size)
+    loader = eval_loader(dataset, batch_size, rank=rank, world_size=world_size)
     enc = Encoders(params, cfg, batch_size=batch_size)
     feats, _, _metas = collect_encoded(
         loader, enc, {"image": "image", "text": "text"}
     )
-    image_feats, text_feats = feats["image"], feats["text"]
+    image_feats, text_feats = merge_across_ranks(
+        len(dataset), world_size, feats["image"], feats["text"]
+    )
     logits = image_feats @ text_feats.T  # [N, N]
     gold = np.arange(logits.shape[0])
 

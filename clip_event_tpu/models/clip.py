@@ -206,20 +206,24 @@ def sim_entity(
     object_images: jnp.ndarray,
     entity_tokens: jnp.ndarray,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode object crops and entity mentions for the OT alignment loss.
 
     object_images: [B, N, H, W, 3]; entity_tokens: [B, M, context].
     Returns ([B, N, E], [B, M, E]) — unnormalized, as in the reference
     (`model_clip.py:531-552`; normalization happens inside the OT cost).
+    At alignment scale the B·N object-crop tower is the largest activation
+    consumer in the step, so `remat` matters more here than in `forward`.
     """
     B, N = object_images.shape[:2]
     M = entity_tokens.shape[1]
     img = encode_image(
         params, cfg, object_images.reshape((B * N,) + object_images.shape[2:]),
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, remat=remat,
     ).reshape(B, N, -1)
     txt = encode_text(
-        params, cfg, entity_tokens.reshape(B * M, -1), compute_dtype=compute_dtype
+        params, cfg, entity_tokens.reshape(B * M, -1), compute_dtype=compute_dtype,
+        remat=remat,
     ).reshape(B, M, -1)
     return img, txt

@@ -153,9 +153,9 @@ def fused_attention_qkv(qkv, bias, num_heads, scale, interpret=False):
 def _prep(qkv, bias, num_heads):
     B, S, W3 = qkv.shape
     width = W3 // 3
-    tb = _pick_block_b(B, S, width, num_heads)
     if width % num_heads:
         raise ValueError(f"width {width} not divisible by num_heads {num_heads}")
+    tb = _pick_block_b(B, S, width, num_heads)
     bp = _round_up(B, tb)
     if bp != B:
         qkv = jnp.pad(qkv, [(0, bp - B), (0, 0), (0, 0)])

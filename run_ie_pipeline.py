@@ -26,7 +26,9 @@ def main():
     parser.add_argument("--edl-data", default="",
                         help="EDL KB directory (setup stage)")
     parser.add_argument("--stages", nargs="*", default=None,
-                        help="subset of: setup text-ie vision-ie (default all)")
+                        help="subset of: setup preprocess oneie entity fillers "
+                        "event merge aif vision-ie (or 'text-ie' for the full "
+                        "text chain; default all)")
     mode = parser.add_mutually_exclusive_group()
     mode.add_argument("--plan", action="store_true",
                       help="print the docker commands without running (default)")

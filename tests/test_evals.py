@@ -331,3 +331,66 @@ def test_every_eval_cli_end_to_end(tmp_path):
         "anno_json": vc["anno_json"], "image_dir": vc["image_dir"],
     }, tmp_path)
     assert m["num_images"] == 5
+
+
+def test_merge_across_ranks_weave(monkeypatch):
+    """The cross-rank weave must invert the loader's strided sharding exactly,
+    including the wrap-around padding rows (data.common.DataLoader._indices)."""
+    from clip_event_tpu.evals.common import merge_across_ranks
+    from clip_event_tpu.parallel import collectives
+
+    n, ws = 7, 2
+    order = np.arange(n)
+    padded = np.resize(order, -(-n // ws) * ws)
+    slices = [padded[r::ws] for r in range(ws)]  # what each rank's loader yields
+
+    arr = np.arange(n) * 10.0
+    metas = [f"id{i}" for i in range(n)]
+    per_rank = [
+        (arr[s], [metas[i] for i in s]) for s in slices
+    ]
+    monkeypatch.setattr(collectives, "all_gather_objects",
+                        lambda obj: [per_rank[0], per_rank[1]])
+    got_arr, got_metas = merge_across_ranks(
+        n, ws, per_rank[0][0], per_rank[0][1]
+    )
+    np.testing.assert_array_equal(got_arr, arr)
+    assert got_metas == metas
+
+
+def test_sharded_eval_matches_single_process(tmp_path, monkeypatch):
+    """evaluate_m2e2 with simulated rank halves (gather monkeypatched) must
+    reproduce the single-process metrics on an odd-sized dataset."""
+    from clip_event_tpu.evals.common import merge_across_ranks  # noqa: F401
+    from clip_event_tpu.parallel import collectives
+
+    paths = fixtures.make_m2e2_fixture(str(tmp_path), num_images=7)
+    ds = M2E2Dataset(paths["anno_json"], paths["image_dir"],
+                     paths["ontology_json"], image_size=32)
+    params = init_params(jax.random.PRNGKey(0), TINY_EVAL)
+    single = evaluate_m2e2(params, TINY_EVAL, ds, batch_size=4,
+                           rank=0, world_size=1)
+
+    # run each rank's half for real, capture what it would contribute
+    contributions = {}
+    real_gather = collectives.all_gather_objects
+
+    def fake_gather(obj):
+        contributions[fake_gather.rank] = obj
+        if len(contributions) < 2:
+            raise _NeedOtherRank()
+        return [contributions[0], contributions[1]]
+
+    class _NeedOtherRank(Exception):
+        pass
+
+    for r in (1, 0):  # rank 1 first so rank 0's gather sees both
+        fake_gather.rank = r
+        monkeypatch.setattr(collectives, "all_gather_objects", fake_gather)
+        try:
+            sharded = evaluate_m2e2(params, TINY_EVAL, ds, batch_size=4,
+                                    rank=r, world_size=2)
+        except _NeedOtherRank:
+            assert r == 1
+    monkeypatch.setattr(collectives, "all_gather_objects", real_gather)
+    assert sharded == single

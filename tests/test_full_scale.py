@@ -1,0 +1,248 @@
+"""Full-scale offline validation (round-3 VERDICT item 1).
+
+Two facts the toy-config suite cannot establish:
+
+1. Numerical parity at REAL ViT-B/32 dimensions (W=768/512, 12 layers, 224²
+   images, vocab 49408) — where fp32-LN islands, EOT/argmax pooling, and the
+   deep stacked-scan could drift past the BASELINE.md 1e-4 gate even though
+   the 64-wide/2-layer configs pass. Random weights, real-JPEG-decoded
+   inputs, real tokenizer; the reference model is built from our exported
+   state_dict through its own shape-inferring `build_model`
+   (/root/reference/src/clip-event/model_clip.py:578-617).
+
+2. End-to-end LEARNING through the real `train.py` CLI: a tiny model trained
+   ~200 steps on a separable synthetic color corpus must climb well above
+   chance on zero-shot classification via the real `eval_m2e2.py` CLI.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import reference_available
+
+jax = pytest.importorskip("jax")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_full_size_vitb32_parity():
+    """Random-weight encoder + forward parity at true ViT-B/32 scale."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    from clip_event_tpu import zoo
+    import functools
+
+    from clip_event_tpu.data.transform import preprocess_image
+    from clip_event_tpu.models import (
+        VIT_B32,
+        encode_image,
+        encode_text,
+        forward,
+        init_params,
+        state_dict_from_params,
+    )
+    from tests.test_model_parity import _reference_model
+    from tests.test_real_weights import _real_jpeg
+
+    cfg = VIT_B32
+    params = init_params(jax.random.PRNGKey(42), cfg)
+    params = jax.tree.map(np.asarray, params)
+    sd = state_dict_from_params(params, cfg)
+    ref = _reference_model(sd)
+    assert ref.visual.transformer.layers == 12  # build_model inferred the real arch
+
+    preprocess = functools.partial(preprocess_image, size=cfg.image_resolution)
+    images = np.stack([
+        preprocess(np.asarray(Image.open(_real_jpeg(seed=s)).convert("RGB")))
+        for s in range(2)
+    ])
+    tokens = np.asarray(zoo.tokenize([
+        "a photo of a protest in the city",
+        "soldiers marching near a damaged building",
+        "a man giving a speech at a podium",
+        "firefighters battle a wildfire near houses",
+    ]))
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(images.transpose(0, 3, 1, 2))).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(tokens.astype(np.int64))).numpy()
+        ref_li, ref_lt = ref(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(tokens.astype(np.int64)),
+        )
+
+    our_img = np.asarray(encode_image(params, cfg, images))
+    our_txt = np.asarray(encode_text(params, cfg, tokens))
+    np.testing.assert_allclose(our_img, ref_img, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(our_txt, ref_txt, atol=1e-4, rtol=1e-4)
+
+    our_li, our_lt = forward(params, cfg, images, tokens, overbatch=True)
+    np.testing.assert_allclose(np.asarray(our_li), ref_li.numpy(), atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(our_lt), ref_lt.numpy(), atol=1e-3, rtol=1e-4)
+
+
+COLORS = {
+    "red": (220, 30, 30),
+    "green": (30, 200, 40),
+    "blue": (40, 50, 220),
+    "yellow": (230, 220, 30),
+}
+_DESC = "An image of {} color."
+
+TINY_MODEL = {
+    "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+    "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+    "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+    "transformer_layers": 2,
+}
+
+
+def _make_color_corpus(root, per_class=12, seed=0):
+    """VOA-format corpus where the caption is fully determined by the image's
+    dominant color — linearly separable, so a tiny CLIP must learn it."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "jpg")
+    os.makedirs(img_dir, exist_ok=True)
+    names = list(COLORS)
+    mapping, descriptions = {}, {}
+    for c, color in enumerate(names):
+        base = np.array(COLORS[color], np.float32)
+        for i in range(per_class):
+            doc_id = f"COLOR_{color}_{i:02d}"
+            image_id = f"{doc_id}_0"
+            arr = base + rng.normal(0, 18, (48, 64, 3))
+            Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8)).save(
+                os.path.join(img_dir, image_id + ".jpg"))
+            mapping[doc_id] = {"0": {"url": "", "cap": _DESC.format(color)}}
+            others = [n for n in names if n != color]
+            descriptions[image_id] = {
+                "pos": [_DESC.format(color)],
+                "neg_event": [_DESC.format(others[(c + i) % 3])],
+                "neg_argument": [_DESC.format(others[(c + i + 1) % 3])],
+            }
+    paths = {
+        "image_dir": img_dir,
+        "mapping_json": os.path.join(root, "mapping.json"),
+        "descriptions_json": os.path.join(root, "descriptions.json"),
+    }
+    json.dump(mapping, open(paths["mapping_json"], "w"))
+    json.dump(descriptions, open(paths["descriptions_json"], "w"))
+    return paths
+
+
+def _make_color_eval(root, per_class=6, seed=99):
+    """Held-out color images in the m2e2 eval format: 'event types' are the
+    color classes, the ontology maps each to its description."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "eval_jpg")
+    os.makedirs(img_dir, exist_ok=True)
+    anno = {}
+    for color in COLORS:
+        base = np.array(COLORS[color], np.float32)
+        for i in range(per_class):
+            image_id = f"eval_{color}_{i}"
+            arr = base + rng.normal(0, 18, (48, 64, 3))
+            Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8)).save(
+                os.path.join(img_dir, image_id + ".jpg"))
+            anno[image_id] = {"event_type": color, "role": {}}
+    ontology = {color: _DESC.format(color) for color in COLORS}
+    paths = {
+        "image_dir": img_dir,
+        "anno_json": os.path.join(root, "eval_anno.json"),
+        "ontology_json": os.path.join(root, "eval_ontology.json"),
+    }
+    json.dump(anno, open(paths["anno_json"], "w"))
+    json.dump(ontology, open(paths["ontology_json"], "w"))
+    return paths
+
+
+@pytest.mark.slow
+def test_synthetic_convergence_cli(tmp_path):
+    """train.py (~200 steps, tiny model, color corpus) then eval_m2e2.py on
+    held-out images: zero-shot accuracy must be well above the 25% chance
+    level. Proves the whole loop — loader, label layouts, jitted step, Adam,
+    checkpointing, eval restore — actually LEARNS, not just runs."""
+    corpus = _make_color_corpus(str(tmp_path / "corpus"))
+    cfg = {
+        "task": "converge",
+        "constrastive_loss": "ce",
+        "constrastive_overbatch": True,
+        "posneg_descriptions_json": corpus["descriptions_json"],
+        "image_caption_json": [corpus["mapping_json"]],
+        "image_dir": [corpus["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "is_train": True,
+        "begin_epoch": 0,
+        "max_epoch": 17,  # 48 imgs / batch 4 = 12 steps/epoch → 204 steps
+        "batch_size": 4,
+        "lr": 5e-4,
+        "optimizer": "adam",
+        "weight_decay": 0.0,
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "seed": 0,
+        "model": TINY_MODEL,
+    }
+    cfg_path = tmp_path / "train_cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    # the loss must actually have gone down substantially
+    scalars = [
+        json.loads(line)
+        for line in open(tmp_path / "logs" / "converge" / "tensorboard" / "scalars.jsonl")
+    ]
+    losses = [s["value"] for s in scalars if s["tag"] == "train_loss"]
+    # duplicate texts in a batch (image i's hard negative IS image j's
+    # positive) put an irreducible floor on the contrastive CE, so assert a
+    # solid absolute drop, not a ratio; the zero-shot eval below is the
+    # real convergence gate
+    assert losses[-1] < losses[0] - 0.7, (losses[0], losses[-1])
+
+    ckpts = sorted(
+        d for d in os.listdir(tmp_path / "ckpt" / "converge")
+        if not d.endswith(".meta.json")
+    )
+    final_ckpt = str(tmp_path / "ckpt" / "converge" / ckpts[-1])
+
+    evalset = _make_color_eval(str(tmp_path / "eval"))
+    eval_cfg = {
+        "image_anno": evalset["anno_json"],
+        "image_dir": evalset["image_dir"],
+        "ie_ontology_json": evalset["ontology_json"],
+        "batch_size": 8,
+        "ckpt": final_ckpt,
+        "model": TINY_MODEL,
+        "output_json": str(tmp_path / "eval_metrics.json"),
+    }
+    eval_cfg_path = tmp_path / "eval_cfg.json"
+    eval_cfg_path.write_text(json.dumps(eval_cfg))
+    proc = subprocess.run(
+        [sys.executable, "eval_m2e2.py", "--cfg", str(eval_cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = json.load(open(eval_cfg["output_json"]))
+    assert metrics["num_images"] == 24
+    # chance = 0.25 over the 4 color classes; "well above chance"
+    assert metrics["accuracy"] >= 0.75, metrics

@@ -1,6 +1,7 @@
 """Metric meter / logger unit tests (reference SmoothedValue/MetricLogger)."""
 
 import logging
+import time
 
 from clip_event_tpu.engine.metrics import MetricLogger, ScalarWriter, SmoothedValue
 
@@ -45,3 +46,35 @@ def test_scalar_writer_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
     assert lines[0] == {"tag": "train_loss", "value": 1.5, "step": 0}
     assert len(lines) == 2
+
+
+def test_log_every_warns_when_data_bound(caplog):
+    """A loader that stalls longer than the step computes must trigger the
+    data-bound warning exactly once (past the warm-up steps)."""
+    import time
+
+    logger = MetricLogger()
+
+    def slow_loader():
+        for i in range(12):
+            time.sleep(0.02)  # "data" wait dominates
+            yield i
+
+    with caplog.at_level(logging.WARNING, logger="clip_event_tpu.engine.metrics"):
+        for _ in logger.log_every(slow_loader(), print_freq=0):
+            pass  # step itself is ~free
+    warnings = [r for r in caplog.records if "bottleneck" in r.message]
+    assert len(warnings) == 1
+
+
+def test_log_every_no_warning_when_compute_bound(caplog):
+    logger = MetricLogger()
+
+    def fast_loader():
+        for i in range(12):
+            yield i
+
+    with caplog.at_level(logging.WARNING, logger="clip_event_tpu.engine.metrics"):
+        for _ in logger.log_every(fast_loader(), print_freq=0):
+            time.sleep(0.02)
+    assert not [r for r in caplog.records if "bottleneck" in r.message]

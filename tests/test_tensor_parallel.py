@@ -76,3 +76,90 @@ def test_tp_unit_mesh_replicates():
     params = init_params(jax.random.PRNGKey(2), TINY_VIT)
     shardings = param_shardings(params, mesh)
     assert all(s.spec == P() for s in jax.tree.leaves(shardings))
+
+
+def test_pallas_config_falls_back_to_xla_under_tp():
+    """use_pallas_attention=true + tp>1 must silently land on the einsum
+    path (the packed-QKV lane layout is tp-sharded, invisible to the
+    kernel's in-VMEM head slicing). Asserted the way
+    test_remat_cache_keyed_on_impl does: via the lowered HLO of the
+    remat'd transformer under the GLOBAL impl config train.py sets."""
+    from clip_event_tpu.models import layers as L
+
+    rng = np.random.default_rng(7)
+    W, H, S = 64, 2, 16
+    tt = L.init_transformer(jax.random.PRNGKey(0), 2, W)
+    x = np.asarray(rng.normal(size=(2, S, W)).astype(np.float32))
+    bias = L.causal_mask(S)
+
+    def lower_with_global():
+        def f(p, xx):
+            return jnp.sum(L.transformer(xx, p, H, bias, remat=True) ** 2)
+
+        return jax.jit(jax.grad(f, argnums=1)).lower(tt, jnp.asarray(x)).as_text()
+
+    try:
+        L.set_attention_impl("xla")
+        hlo_xla = lower_with_global()
+
+        # dp-only mesh: the kernel is live (HLO differs from einsum)
+        L.set_attention_impl("pallas", make_mesh_2d(dp=8, tp=1))
+        assert L._resolve_impl() != "xla"
+        hlo_dp = lower_with_global()
+        assert hlo_dp != hlo_xla
+
+        # tp>1 mesh: auto-fallback — identical HLO to the einsum path
+        L.set_attention_impl("pallas", make_mesh_2d(dp=4, tp=2))
+        assert L._resolve_impl() == "xla"
+        assert lower_with_global() == hlo_xla
+    finally:
+        L.set_attention_impl("xla")
+
+
+def test_tp_checkpoint_save_restore_reshard_step(tmp_path):
+    """tp-sharded params → orbax save → restore → re-shard → step must
+    continue exactly like the uninterrupted tp run (round-2 weak #6)."""
+    from clip_event_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_train_step
+
+    cfg = TINY_VIT
+    mesh = make_mesh_2d(dp=2, tp=4)
+    opt = build_optimizer("adam", build_schedule("none", 1e-3, 2))
+    step = make_train_step(cfg, opt, loss_type="ce", overbatch=True,
+                           donate=False, remat=False)
+    batches = [_make_batch(cfg, seed=s) for s in (10, 11)]
+
+    params0 = shard_params(init_params(jax.random.PRNGKey(3), cfg), mesh)
+    state = create_train_state(params0, opt)
+    state, _ = step(state, batches[0])
+    ref_state, _ = step(state, batches[1])
+
+    path = save_checkpoint(str(tmp_path), "tp", 0, state.params,
+                           state.opt_state, step=int(state.step))
+    template = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(3), cfg))
+    params, opt_state, meta = restore_checkpoint(
+        path, params_template=template, optimizer=opt
+    )
+    params = shard_params(params, mesh)
+    # moments inherit the param shardings from a template opt state;
+    # scalar leaves (step counts) replicate over the mesh
+    opt_template = opt.init(params)
+
+    def _reshard(t, x):
+        s = getattr(t, "sharding", None)
+        if not (isinstance(s, NamedSharding) and s.mesh == mesh):
+            s = NamedSharding(mesh, P())
+        return jax.device_put(np.asarray(x), s)
+
+    opt_state = jax.tree.map(_reshard, opt_template, opt_state)
+    resumed = create_train_state(params, opt)._replace(
+        opt_state=opt_state, step=jnp.asarray(meta["step"], jnp.int32)
+    )
+    resumed, _ = step(resumed, batches[1])
+
+    assert int(resumed.step) == int(ref_state.step) == 2
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref_state.opt_state), jax.tree.leaves(resumed.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
