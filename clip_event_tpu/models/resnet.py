@@ -109,22 +109,24 @@ def attention_pool(x: jnp.ndarray, params: dict, num_heads: int) -> jnp.ndarray:
     tokens = jnp.concatenate([tokens.mean(axis=1, keepdims=True), tokens], axis=1)
     tokens = tokens + params["positional_embedding"].astype(tokens.dtype)
 
-    q = L.linear(tokens[:, :1], params["q_w"], params["q_b"])  # [B, 1, C]
+    q = L.linear(tokens[:, 0], params["q_w"], params["q_b"])  # [B, C]
     k = L.linear(tokens, params["k_w"], params["k_b"])  # [B, S, C]
     v = L.linear(tokens, params["v_w"], params["v_b"])
 
     head_dim = C // num_heads
     S = tokens.shape[1]
-    q = q.reshape(B, 1, num_heads, head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(B, S, num_heads, head_dim).transpose(0, 2, 1, 3)
-
+    # single-query attention with heads kept packed in the channel axis:
+    # reshapes are layout-free, no [B,S,H,D] physical transposes
+    qh = q.reshape(B, num_heads, head_dim)
+    kh = k.reshape(B, S, num_heads, head_dim)
+    vh = v.reshape(B, S, num_heads, head_dim)
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * head_dim**-0.5, k, preferred_element_type=jnp.float32
+        "bhd,bshd->bhs", qh * head_dim**-0.5, kh, preferred_element_type=jnp.float32
     )
     weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, 1, C)[:, 0]
+    out = jnp.einsum(
+        "bhs,bshd->bhd", weights, vh, preferred_element_type=jnp.float32
+    ).astype(x.dtype).reshape(B, C)
     return L.linear(out, params["c_w"], params["c_b"])
 
 

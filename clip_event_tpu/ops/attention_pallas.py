@@ -404,3 +404,114 @@ def _hg_bwd(num_heads, scale, interpret, residuals, g):
 
 
 fused_attention_qkv_headgrid.defvjp(_hg_fwd, _hg_bwd)
+
+
+# ---------------------------------------------------------------- megakernel
+# Forward-only fused LN1 + QKV-projection + attention-core block, built to
+# MEASURE the whole-block-fusion break-even (PERFORMANCE.md lever 3): both
+# towers sit ~30-40% above their pure-matmul floors, and the remaining
+# non-matmul time is LN passes + attention-core HBM traffic. This kernel
+# keeps qkv_w resident in VMEM (1.5 MB bf16 for the text tower) and fuses
+#   ln = LayerNorm(x);  qkv = ln @ qkv_w + qkv_b;  out = attn_core(qkv)
+# into one VMEM-resident pass per batch-block — x is read from HBM once and
+# the [B, S, 3W] projection never materializes in HBM. Output contract
+# matches `fused_attention_qkv` ([B, S, W], pre-out-projection).
+# tools/bench_components.py `megakernel` times it against the unfused
+# ln→matmul→kernel chain; it is wired into the train path only if that
+# measurement wins (config `use_megakernel`).
+
+
+def _mega_fwd_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, bias_ref, o_ref,
+                     *, num_heads, width, scale, eps=1e-5):
+    tb, s, _ = x_ref.shape
+    x = x_ref[...].astype(jnp.float32)  # [TB, S, W]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    ln = (x - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    # the projection runs at the io dtype (bf16 weights on the MXU, f32
+    # accumulation) — same numerics as the unfused linear()
+    qkv = jax.lax.dot(
+        ln.reshape(tb * s, width).astype(x_ref.dtype), w_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + b_ref[...].astype(jnp.float32)).reshape(tb, s, 3 * width)
+    q, k, v = _split_heads(qkv, num_heads, width)
+    p = _probs(q, k, bias_ref[...], scale)
+    out = jax.lax.dot_general(p, v, _PV, preferred_element_type=jnp.float32)
+    o_ref[...] = _merge_heads(out, num_heads, tb).astype(o_ref.dtype)
+
+
+def _mega_block_bytes(tb: int, seq_len: int, width: int, num_heads: int) -> int:
+    """Forward working set: double-buffered io blocks (x in, out out), the
+    resident weights, and the f32 intermediates (x upcast + ln + qkv +
+    split q/k/v + probs)."""
+    sp = _round_up(seq_len, 128)
+    io = 2 * 2 * (tb * seq_len * width + tb * seq_len * width)
+    weights = 2 * width * 3 * width + 4 * 3 * width
+    f32 = 4 * (
+        2 * tb * seq_len * width          # x upcast + ln
+        + 2 * tb * seq_len * 3 * width    # qkv + stacked q/k/v
+        + num_heads * tb * seq_len * sp   # probabilities
+    )
+    return io + weights + f32
+
+
+def megakernel_supported(seq_len: int, width: int, num_heads: int) -> bool:
+    return _mega_block_bytes(1, seq_len, width, num_heads) < _VMEM_BUDGET
+
+
+def _mega_pick_tb(batch: int, seq_len: int, width: int, num_heads: int) -> int:
+    for tb in (32, 16, 8, 4, 2, 1):
+        if _mega_block_bytes(tb, seq_len, width, num_heads) < _VMEM_BUDGET:
+            return min(tb, batch)
+    raise ValueError(
+        f"megakernel block (S={seq_len}, W={width}) exceeds VMEM — gate on "
+        "megakernel_supported()"
+    )
+
+
+def fused_ln_qkv_attention(x, ln_scale, ln_bias, qkv_w, qkv_b, bias,
+                           num_heads, scale, interpret=False):
+    """LayerNorm → packed QKV projection → attention core, one kernel.
+
+    x: [B, S, W]; ln_scale/ln_bias: [W]; qkv_w: [W, 3W]; qkv_b: [3W];
+    bias: additive [S, S] mask or None. Returns [B, S, W] in x.dtype.
+    Forward-only (no custom VJP) — the break-even measurement vehicle for
+    the full dW-accumulating block megakernel.
+    """
+    interpret = _interpret_here(interpret)
+    B, S, W = x.shape
+    if W % num_heads:
+        raise ValueError(f"width {W} not divisible by num_heads {num_heads}")
+    tb = _mega_pick_tb(B, S, W, num_heads)
+    bp = _round_up(B, tb)
+    xp = jnp.pad(x, [(0, bp - B), (0, 0), (0, 0)]) if bp != B else x
+    b = jnp.zeros((S, S), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    kernel = functools.partial(
+        _mega_fwd_kernel, num_heads=num_heads, width=W, scale=scale
+    )
+    const = lambda *_: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, S, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 3 * W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * W), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, S, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, S, W), x.dtype),
+        interpret=interpret,
+    )(
+        xp,
+        ln_scale.reshape(1, W).astype(x.dtype),
+        ln_bias.reshape(1, W).astype(x.dtype),
+        qkv_w.astype(x.dtype),
+        qkv_b.reshape(1, 3 * W).astype(x.dtype),
+        b,
+    )
+    return out[:B]

@@ -341,3 +341,25 @@ class TestHeadGridded:
             L.set_attention_impl("xla")
         assert calls, "head-gridded kernel was not invoked"
         np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("B,S,W,H,causal", [(3, 77, 128, 2, True), (2, 50, 192, 3, False)])
+def test_megakernel_matches_unfused_chain(B, S, W, H, causal):
+    """fused_ln_qkv_attention == LayerNorm -> linear -> attention core."""
+    from clip_event_tpu.ops.attention_pallas import fused_ln_qkv_attention
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(B, S, W)).astype(np.float32))
+    ln = {"scale": jnp.asarray(1 + 0.1 * rng.normal(size=W).astype(np.float32)),
+          "bias": jnp.asarray(0.1 * rng.normal(size=W).astype(np.float32))}
+    w = jnp.asarray((W ** -0.5) * rng.normal(size=(W, 3 * W)).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.normal(size=3 * W).astype(np.float32))
+    bias = L.causal_mask(S) if causal else None
+    scale = (W // H) ** -0.5
+
+    qkv = L.linear(L.layer_norm(x, ln), w, b)
+    ref = np.asarray(_ref_attention_qkv(qkv, bias, H, scale))
+    got = np.asarray(fused_ln_qkv_attention(
+        x, ln["scale"], ln["bias"], w, b, bias, H, scale, interpret=True
+    ))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)

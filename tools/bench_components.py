@@ -575,8 +575,144 @@ def bench_ot():
             print(f"{name:<44s} FAILED: {type(e).__name__}: {e}", flush=True)
 
 
+def bench_megakernel():
+    """Forward-only whole-block fusion break-even (PERFORMANCE.md lever 3):
+    LN1 + QKV matmul + attention core as ONE pallas kernel (weights VMEM-
+    resident) vs the unfused ln→linear→attention-kernel chain, over the full
+    12-layer stack at both towers' shapes. Decides whether the full
+    dW-accumulating megakernel is worth building."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models import VIT_B32, layers
+    from clip_event_tpu.ops.attention_pallas import (
+        fused_attention_qkv,
+        fused_ln_qkv_attention,
+        megakernel_supported,
+    )
+
+    cfg = VIT_B32
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("text", B * D, cfg.context_length, cfg.transformer_width,
+         cfg.transformer_heads, True),
+        ("vision", B, (cfg.image_resolution // cfg.vision_patch_size) ** 2 + 1,
+         cfg.vision_width, cfg.vision_heads, False),
+    ]
+    for tower, b, S, W, H, causal in shapes:
+        if not megakernel_supported(S, W, H):
+            print(f"megakernel {tower}: unsupported (VMEM)", flush=True)
+            continue
+        L_layers = cfg.transformer_layers if tower == "text" else cfg.vision_layers
+        tt = layers.init_transformer(jax.random.PRNGKey(0), L_layers, W)
+        tt = jax.tree.map(lambda a: a.astype(jnp.bfloat16), tt)
+        x = jnp.asarray(rng.normal(size=(b, S, W)), jnp.bfloat16)
+        bias = layers.causal_mask(S) if causal else None
+        scale = (W // H) ** -0.5
+
+        def unfused_layer(h, lp):
+            qkv = layers.linear(layers.layer_norm(h, lp["ln_1"]),
+                                lp["attn"]["qkv_w"], lp["attn"]["qkv_b"])
+            return fused_attention_qkv(qkv, bias, H, scale)
+
+        def mega_layer(h, lp):
+            return fused_ln_qkv_attention(
+                h, lp["ln_1"]["scale"], lp["ln_1"]["bias"],
+                lp["attn"]["qkv_w"], lp["attn"]["qkv_b"], bias, H, scale,
+            )
+
+        for name, layer in ((f"{tower}: ln+qkv+core unfused", unfused_layer),
+                            (f"{tower}: ln+qkv+core megakernel", mega_layer)):
+            @jax.jit
+            def many(p, xx, c0, _l=layer):
+                def body(h, lp):
+                    return _l(h, lp).astype(xx.dtype), None
+
+                def iter_body(c, _):
+                    out, _n = jax.lax.scan(body, xx * (1 + c * 1e-12), p)
+                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
+
+                c, _ = jax.lax.scan(iter_body, c0, None, length=STEPS)
+                return c
+
+            try:
+                dt = _bench_chain(lambda c, _m=many: _m(tt, x, c), STEPS)
+                print(f"{name:<44s} {dt * 1e3:8.2f} ms/iter (12-layer fwd)",
+                      flush=True)
+            except Exception as e:
+                print(f"{name:<44s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+def bench_alignment():
+    """Full train step with the OT-alignment branch ON (object + entity
+    channels), B=256: the sim_entity object-tower re-encode dominates. Also
+    probes the default object cap (51 crops/image) for OOM. BENCH_OBJ
+    overrides the benched crop count."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_multi_step
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    rng = np.random.default_rng(0)
+    layout = build_label_layout(B, 1, D - 1, "ce", True)
+    M = 16  # max_entities default cap
+    optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    layers.set_attention_impl("pallas")
+    try:
+        for N in (int(os.environ.get("BENCH_OBJ", 11)),):
+            ent = rng.integers(1, 49000, size=(B, M, cfg.context_length)).astype(np.int32)
+            ent[..., -1] = cfg.vocab_size - 1
+            batch = {
+                "image": jnp.asarray(_image_inputs(cfg)),
+                "text": jnp.asarray(_text_inputs(cfg)),
+                "labels_per_image": jnp.asarray(layout.labels_per_image),
+                "labels_per_text": jnp.asarray(layout.labels_per_text),
+                "index_pos": jnp.asarray(layout.index_pos),
+                "object_image": jnp.asarray(
+                    rng.normal(
+                        size=(B, N, cfg.image_resolution, cfg.image_resolution, 3)
+                    ).astype(np.float32)
+                ),
+                "entity_text": jnp.asarray(ent),
+                "entity_mask": jnp.asarray(rng.random((B, M)) < 0.4),
+                "object_mask": jnp.asarray(rng.random((B, N)) < 0.4),
+            }
+            steps = 3  # the object tower makes each step ~N× heavier
+            _, run_k = make_multi_step(
+                cfg, optimizer, steps, loss_type="ce", overbatch=True,
+                alignment=True, use_pallas_ot=False,
+                compute_dtype=jnp.bfloat16, remat=True, donate=False,
+            )
+            state0 = create_train_state(params, optimizer)
+            holder = {"state": state0}
+
+            def call(c):
+                s, m = run_k(holder["state"], batch)
+                holder["state"] = s
+                return m["loss"][-1] + c * 0
+
+            try:
+                dt = _bench_chain(call, steps, calls=2)
+                label = f"align step (B={B}, N={N} crops, M={M})"
+                print(f"{label:<44s} {dt * 1e3:8.2f} ms/step "
+                      f"({B * D / dt:,.0f} pairs/s)", flush=True)
+            except Exception as e:
+                print(f"align step N={N} FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+    finally:
+        layers.set_attention_impl("xla")
+
+
 EXPERIMENTS = {
     "matmul": bench_matmul,
+    "megakernel": bench_megakernel,
+    "alignment": bench_alignment,
     "step": bench_step,
     "text": bench_text,
     "vision": bench_vision,
