@@ -36,6 +36,9 @@ _REQUIRED = ("task", "constrastive_loss", "batch_size", "lr", "optimizer", "max_
 _DEFAULTS: Dict[str, Any] = {
     "constrastive_overbatch": True,
     "alignment": False,
+    # sequential lax.map slices for the sim_entity object/entity encodes —
+    # peak activation memory divides by this at zero extra FLOPs
+    "alignment_chunks": 4,
     "multiattention": False,
     "posneg_descriptions_json": None,
     "image_caption_json": [],

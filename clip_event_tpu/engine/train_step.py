@@ -47,6 +47,7 @@ def loss_fn(
     remat: bool = False,
     multiattention: Optional[str] = None,
     multiattention_pooling: str = "mean",
+    alignment_chunks: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     logits_per_image, logits_per_text = clip_model.forward(
         params,
@@ -69,6 +70,7 @@ def loss_fn(
         object_feats, entity_feats = clip_model.sim_entity(
             params, cfg, batch["object_image"], batch["entity_text"],
             compute_dtype=compute_dtype, remat=remat,
+            chunks=alignment_chunks,
         )
         loss_dict["loss_ot"] = alignment_loss(
             entity_feats,
@@ -110,6 +112,7 @@ def _build_step_fn(
     remat: bool = True,
     multiattention: Optional[str] = None,
     multiattention_pooling: str = "mean",
+    alignment_chunks: int = 1,
 ):
     """The ONE step function both dispatch modes share: the K-steps-fused
     path must carry the identical loss surface (alignment, multiattention)
@@ -119,7 +122,7 @@ def _build_step_fn(
         (total, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, cfg, loss_type, overbatch, alignment,
             use_pallas_ot, compute_dtype, remat, multiattention,
-            multiattention_pooling,
+            multiattention_pooling, alignment_chunks,
         )
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

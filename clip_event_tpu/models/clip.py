@@ -207,23 +207,45 @@ def sim_entity(
     entity_tokens: jnp.ndarray,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    chunks: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode object crops and entity mentions for the OT alignment loss.
 
     object_images: [B, N, H, W, 3]; entity_tokens: [B, M, context].
     Returns ([B, N, E], [B, M, E]) — unnormalized, as in the reference
     (`model_clip.py:531-552`; normalization happens inside the OT cost).
+
     At alignment scale the B·N object-crop tower is the largest activation
-    consumer in the step, so `remat` matters more here than in `forward`.
-    """
+    consumer in the step (B=256 × 11 crops = 2,816 images — OOMs a 16 GB
+    chip even under remat), so `remat` matters more here than in `forward`,
+    and `chunks > 1` additionally runs the B·N/B·M encode batch in that many
+    SEQUENTIAL `lax.map` slices: peak activation memory divides by `chunks`
+    at zero extra FLOPs (config key `alignment_chunks`)."""
     B, N = object_images.shape[:2]
     M = entity_tokens.shape[1]
-    img = encode_image(
-        params, cfg, object_images.reshape((B * N,) + object_images.shape[2:]),
-        compute_dtype=compute_dtype, remat=remat,
+
+    def encode_flat(encode_fn, flat):
+        n = flat.shape[0]
+        c = chunks if chunks > 1 and n % chunks == 0 else 1
+        if c == 1:
+            return encode_fn(flat)
+        # checkpoint each chunk: without it the lax.map scan STACKS every
+        # chunk's layer residuals for the backward ([chunks, L, b, S, W] —
+        # measured 3.6 GB at B=256) and chunking saves nothing; with it only
+        # the chunk inputs are saved and each chunk's forward re-runs during
+        # its own backward slice
+        out = jax.lax.map(
+            jax.checkpoint(encode_fn),
+            flat.reshape((c, n // c) + flat.shape[1:]),
+        )
+        return out.reshape((n,) + out.shape[2:])
+
+    img = encode_flat(
+        lambda x: encode_image(params, cfg, x, compute_dtype=compute_dtype, remat=remat),
+        object_images.reshape((B * N,) + object_images.shape[2:]),
     ).reshape(B, N, -1)
-    txt = encode_text(
-        params, cfg, entity_tokens.reshape(B * M, -1), compute_dtype=compute_dtype,
-        remat=remat,
+    txt = encode_flat(
+        lambda t: encode_text(params, cfg, t, compute_dtype=compute_dtype, remat=remat),
+        entity_tokens.reshape(B * M, -1),
     ).reshape(B, M, -1)
     return img, txt

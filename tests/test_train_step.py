@@ -191,3 +191,27 @@ def test_multi_step_fixed_batch():
     losses = np.asarray(metrics_k["loss"])
     assert losses.shape == (4,)
     assert losses[-1] < losses[0]  # it trains
+
+
+def test_sim_entity_chunked_matches_unchunked():
+    """alignment_chunks runs the object/entity encodes in sequential slices;
+    results must be identical (and non-dividing chunk counts fall back)."""
+    from clip_event_tpu.models import clip as clip_model
+    from tests.test_model_parity import TINY_VIT
+
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    B, N, M = 2, 4, 3
+    obj = rng.normal(size=(B, N, cfg.image_resolution, cfg.image_resolution, 3)).astype(np.float32)
+    ent = rng.integers(1, cfg.vocab_size - 2, size=(B, M, cfg.context_length)).astype(np.int32)
+    ent[..., -1] = cfg.vocab_size - 1
+
+    img1, txt1 = clip_model.sim_entity(params, cfg, obj, ent, chunks=1)
+    img2, txt2 = clip_model.sim_entity(params, cfg, obj, ent, chunks=2)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(txt1), np.asarray(txt2), atol=1e-5)
+    # M*B=6 doesn't divide 4 → entity side falls back to one slice; still equal
+    img3, txt3 = clip_model.sim_entity(params, cfg, obj, ent, chunks=4)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img3), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(txt1), np.asarray(txt3), atol=1e-5)

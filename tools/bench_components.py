@@ -629,7 +629,8 @@ def bench_megakernel():
                     return _l(h, lp).astype(xx.dtype), None
 
                 def iter_body(c, _):
-                    out, _n = jax.lax.scan(body, xx * (1 + c * 1e-12), p)
+                    x0 = xx * (1 + c * 1e-12).astype(xx.dtype)
+                    out, _n = jax.lax.scan(body, x0, p)
                     return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
 
                 c, _ = jax.lax.scan(iter_body, c0, None, length=STEPS)
@@ -687,6 +688,7 @@ def bench_alignment():
             _, run_k = make_multi_step(
                 cfg, optimizer, steps, loss_type="ce", overbatch=True,
                 alignment=True, use_pallas_ot=False,
+                alignment_chunks=int(os.environ.get("BENCH_ALIGN_CHUNKS", 4)),
                 compute_dtype=jnp.bfloat16, remat=True, donate=False,
             )
             state0 = create_train_state(params, optimizer)

@@ -171,6 +171,7 @@ def main():
             loss_type=cfg["constrastive_loss"],
             overbatch=cfg["constrastive_overbatch"],
             alignment=cfg["alignment"],
+            alignment_chunks=cfg["alignment_chunks"],
             use_pallas_ot=cfg["use_pallas_ot"],
             compute_dtype=compute_dtype,
             remat=cfg["remat"],
@@ -185,6 +186,7 @@ def main():
             loss_type=cfg["constrastive_loss"],
             overbatch=cfg["constrastive_overbatch"],
             alignment=cfg["alignment"],
+            alignment_chunks=cfg["alignment_chunks"],
             use_pallas_ot=cfg["use_pallas_ot"],
             compute_dtype=compute_dtype,
             remat=cfg["remat"],
