@@ -26,13 +26,23 @@ import numpy as np
 V100_BASELINE_PAIRS_PER_SEC = 90.0
 
 BENCH_MODEL = os.environ.get("BENCH_MODEL", "ViT-B/32")
+#  sweep-confirmed per-preset defaults (tools/bench_presets.py, round 3):
+#  batch at the throughput plateau, remat policy that measured best
 _DEFAULT_BATCH = {
     "ViT-B/32": 384,
     "ViT-B/16": 96,
     "ViT-L/14": 64,
     "RN50": 128,
-    "RN101": 96,
-    "RN50x4": 64,
+    "RN101": 128,
+    "RN50x4": 128,
+}
+_DEFAULT_REMAT = {
+    "ViT-B/32": "1",     # full recompute; 'attn' measured -1.4%
+    "ViT-B/16": "attn",  # +3.1% (head-gridded kernel recompute is costly)
+    "ViT-L/14": "attn",  # +3.0%
+    "RN50": "1",         # == attn (conv tower; text tower indifferent)
+    "RN101": "attn",     # +0.2%
+    "RN50x4": "1",
 }
 if BENCH_MODEL not in _DEFAULT_BATCH and "BENCH_BATCH" not in os.environ:
     print(f"# BENCH_MODEL={BENCH_MODEL} has no swept default batch; using 64")
@@ -88,6 +98,8 @@ def main():
     }
     batch = shard_batch(batch, mesh)
 
+    remat_env = os.environ.get("BENCH_REMAT", _DEFAULT_REMAT.get(BENCH_MODEL, "1"))
+    remat = {"0": False, "1": True}.get(remat_env, remat_env)
     optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
     _, run_k = make_multi_step(
         cfg,
@@ -96,7 +108,7 @@ def main():
         loss_type="ce",
         overbatch=True,
         compute_dtype=jnp.bfloat16,
-        remat=True,
+        remat=remat,
     )
     params = jax.tree.map(np.asarray, init_params(jax.random.PRNGKey(0), cfg))
     state = create_train_state(replicate(params, mesh), optimizer)
