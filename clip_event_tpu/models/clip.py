@@ -224,28 +224,47 @@ def sim_entity(
     B, N = object_images.shape[:2]
     M = entity_tokens.shape[1]
 
-    def encode_flat(encode_fn, flat):
-        n = flat.shape[0]
-        c = chunks if chunks > 1 and n % chunks == 0 else 1
-        if c == 1:
-            return encode_fn(flat)
-        # checkpoint each chunk: without it the lax.map scan STACKS every
-        # chunk's layer residuals for the backward ([chunks, L, b, S, W] —
-        # measured 3.6 GB at B=256) and chunking saves nothing; with it only
-        # the chunk inputs are saved and each chunk's forward re-runs during
-        # its own backward slice
-        out = jax.lax.map(
-            jax.checkpoint(encode_fn),
-            flat.reshape((c, n // c) + flat.shape[1:]),
-        )
-        return out.reshape((n,) + out.shape[2:])
+    def encode_chunked(encode_fn, x, node_axis_len):
+        """x: [B, K, ...] → [B, K, E], encoding `chunks` sequential slices.
 
-    img = encode_flat(
+        Chunking splits the NODE axis (not the flattened B·K batch) so each
+        chunk still spans the full data-parallel batch — under a dp mesh
+        every chunk stays sharded over all devices instead of living on a
+        device subset. Each chunk is wrapped in jax.checkpoint: without it
+        the lax.map scan STACKS every chunk's layer residuals for the
+        backward ([chunks, L, b, S, W] — measured 3.6 GB at B=256) and
+        chunking saves no memory; with it only the chunk inputs are saved
+        and each chunk's forward re-runs during its own backward slice.
+
+        The effective count is the smallest divisor of the node axis ≥ the
+        requested `chunks` (e.g. 11 object slots with chunks=4 → 11 slices
+        of one node each) — falling back to NO chunking for a non-dividing
+        axis would re-OOM exactly the configs chunking exists for."""
+        c = 1
+        if chunks > 1:
+            c = next(
+                d for d in range(min(chunks, node_axis_len), node_axis_len + 1)
+                if node_axis_len % d == 0
+            )
+        k = node_axis_len // c
+        if c == 1:
+            flat = x.reshape((B * node_axis_len,) + x.shape[2:])
+            return encode_fn(flat).reshape(B, node_axis_len, -1)
+
+        def one(xc):  # [B, k, ...] → [B·k, E]
+            return encode_fn(xc.reshape((B * k,) + xc.shape[2:]))
+
+        stacked = jnp.moveaxis(x.reshape((B, c, k) + x.shape[2:]), 1, 0)
+        out = jax.lax.map(jax.checkpoint(one), stacked)  # [c, B·k, E]
+        out = out.reshape(c, B, k, -1)
+        return jnp.moveaxis(out, 0, 1).reshape(B, node_axis_len, -1)
+
+    img = encode_chunked(
         lambda x: encode_image(params, cfg, x, compute_dtype=compute_dtype, remat=remat),
-        object_images.reshape((B * N,) + object_images.shape[2:]),
-    ).reshape(B, N, -1)
-    txt = encode_flat(
+        object_images, N,
+    )
+    txt = encode_chunked(
         lambda t: encode_text(params, cfg, t, compute_dtype=compute_dtype, remat=remat),
-        entity_tokens.reshape(B * M, -1),
-    ).reshape(B, M, -1)
+        entity_tokens, M,
+    )
     return img, txt

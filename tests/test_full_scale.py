@@ -89,6 +89,54 @@ def test_full_size_vitb32_parity():
     np.testing.assert_allclose(np.asarray(our_lt), ref_lt.numpy(), atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_full_size_rn50_parity():
+    """Random-weight encoder parity at true RN50 scale (64-wide stem →
+    2048-ch stage 4, 32×32 attention pool, 224²) — exercises the BN folding
+    and the restructured single-query attention pool at real dimensions."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    from clip_event_tpu.data.transform import preprocess_image
+    from clip_event_tpu.models import (
+        RN50,
+        encode_image,
+        encode_text,
+        init_params,
+        state_dict_from_params,
+    )
+    from tests.test_model_parity import _reference_model
+    from tests.test_real_weights import _real_jpeg
+    from clip_event_tpu import zoo
+
+    cfg = RN50
+    params = jax.tree.map(np.asarray, init_params(jax.random.PRNGKey(7), cfg))
+    sd = state_dict_from_params(params, cfg)
+    ref = _reference_model(sd)
+
+    images = np.stack([
+        preprocess_image(
+            np.asarray(Image.open(_real_jpeg(seed=s)).convert("RGB")),
+            size=cfg.image_resolution,
+        )
+        for s in range(2)
+    ])
+    tokens = np.asarray(zoo.tokenize([
+        "a photo of a protest in the city",
+        "soldiers marching near a damaged building",
+    ]))
+
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(images.transpose(0, 3, 1, 2))).numpy()
+        ref_txt = ref.encode_text(torch.from_numpy(tokens.astype(np.int64))).numpy()
+
+    our_img = np.asarray(encode_image(params, cfg, images))
+    our_txt = np.asarray(encode_text(params, cfg, tokens))
+    np.testing.assert_allclose(our_img, ref_img, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(our_txt, ref_txt, atol=1e-4, rtol=1e-4)
+
+
 COLORS = {
     "red": (220, 30, 30),
     "green": (30, 200, 40),

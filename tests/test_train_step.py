@@ -211,7 +211,8 @@ def test_sim_entity_chunked_matches_unchunked():
     img2, txt2 = clip_model.sim_entity(params, cfg, obj, ent, chunks=2)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(txt1), np.asarray(txt2), atol=1e-5)
-    # M*B=6 doesn't divide 4 → entity side falls back to one slice; still equal
+    # chunks=4 with M=3 entity slots → effective count rounds to the axis
+    # length (3 single-node slices); still equal
     img3, txt3 = clip_model.sim_entity(params, cfg, obj, ent, chunks=4)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img3), atol=1e-5)
     np.testing.assert_allclose(np.asarray(txt1), np.asarray(txt3), atol=1e-5)
