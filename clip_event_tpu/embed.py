@@ -59,9 +59,9 @@ class ImageFilesDataset(ExampleDataset):
         return {"image": image}, {"id": self.ids[idx], "path": path}
 
 
-def _write_shard(out_dir: str, kind: str, shard_idx: int, ids: List[str],
-                 feats: List[np.ndarray]) -> str:
-    path = os.path.join(out_dir, f"{kind}-{shard_idx:05d}.npz")
+def _write_shard(out_dir: str, kind: str, tag: str, shard_idx: int,
+                 ids: List[str], feats: List[np.ndarray]) -> str:
+    path = os.path.join(out_dir, f"{kind}-{tag}{shard_idx:05d}.npz")
     np.savez_compressed(
         path,
         ids=np.asarray(ids),
@@ -72,38 +72,50 @@ def _write_shard(out_dir: str, kind: str, shard_idx: int, ids: List[str],
 
 def embed_stream(dataset, enc, field: str, kind: str, out_dir: str,
                  shard_size: int, batch_size: int, num_workers: int = 8,
-                 id_key: str = "id") -> Dict:
+                 id_key: str = "id", rank: int = 0, world_size: int = 1) -> Dict:
     """Encode `dataset` and write `<kind>-NNNNN.npz` shards of (ids, features).
 
-    Constant host memory: at most one shard of features is resident."""
+    Constant host memory: at most one shard of features is resident.
+    Under multi-process runs each rank encodes its rank-strided slice and
+    writes rank-tagged shards (`<kind>-rNN-NNNNN.npz`) — export is
+    embarrassingly parallel, so there is no gather; the loader's
+    count-equalizing wrap-around duplicates are dropped in-stream."""
     os.makedirs(out_dir, exist_ok=True)
     loader = DataLoader(
         dataset, batch_size=min(batch_size, len(dataset)), shuffle=False,
         drop_last=False, num_workers=num_workers,
+        rank=rank, world_size=world_size,
     )
+    tag = f"r{rank:02d}-" if world_size > 1 else ""
     encode = enc.images if kind == "image" else enc.texts
     ids: List[str] = []
     feats: List[np.ndarray] = []
     shards: List[str] = []
     count = 0
     dim = None
+    offset = 0
     for batch, metas in loader:
         x = np.asarray(batch[field])
         f = encode(x)
         dim = f.shape[-1]
+        b = f.shape[0]
+        genuine = rank + (offset + np.arange(b)) * world_size < len(dataset)
+        offset += b
+        f = f[genuine]
+        metas = [m for m, g in zip(metas, genuine) if g]
         feats.append(f)
         ids.extend(str(m[id_key]) for m in metas)
         count += f.shape[0]
         while len(ids) >= shard_size:
             buf = np.concatenate(feats)
             shards.append(
-                _write_shard(out_dir, kind, len(shards), ids[:shard_size],
+                _write_shard(out_dir, kind, tag, len(shards), ids[:shard_size],
                              [buf[:shard_size]])
             )
             rest = buf[shard_size:]
             ids, feats = ids[shard_size:], ([rest] if rest.size else [])
     if ids:
-        shards.append(_write_shard(out_dir, kind, len(shards), ids, feats))
+        shards.append(_write_shard(out_dir, kind, tag, len(shards), ids, feats))
     manifest = {
         "kind": kind, "count": count, "dim": int(dim or 0),
         "shards": [os.path.basename(s) for s in shards],
@@ -122,12 +134,13 @@ def run_embed(cfg: dict, params, mcfg) -> dict:
       batch_size (64), shard_size (50000), num_workers (8)
     """
     from clip_event_tpu.data.text import TextDataset
-    from clip_event_tpu.evals.common import Encoders
+    from clip_event_tpu.evals.common import Encoders, resolve_shard
 
     out_dir = cfg["output_dir"]
     batch = cfg.get("batch_size", 64)
     shard = cfg.get("shard_size", 50000)
     workers = cfg.get("num_workers", 8)
+    rank, world_size = resolve_shard(cfg.get("rank"), cfg.get("world_size"))
     enc = Encoders(params, mcfg, batch_size=batch)
 
     manifests = {}
@@ -141,7 +154,8 @@ def run_embed(cfg: dict, params, mcfg) -> dict:
         ds = ImageFilesDataset(image_dirs, image_files, mcfg.image_resolution)
         log.info("embedding %d images", len(ds))
         manifests["images"] = embed_stream(
-            ds, enc, "image", "image", out_dir, shard, batch, workers
+            ds, enc, "image", "image", out_dir, shard, batch, workers,
+            rank=rank, world_size=world_size,
         )
 
     texts = list(cfg.get("texts", []))
@@ -153,12 +167,26 @@ def run_embed(cfg: dict, params, mcfg) -> dict:
         log.info("embedding %d texts", len(ds))
         manifests["texts"] = embed_stream(
             ds, enc, "text", "text", out_dir, shard, batch, workers,
-            id_key="text",
+            id_key="text", rank=rank, world_size=world_size,
         )
 
     if not manifests:
         raise ValueError("nothing to embed: give image_dir/image_files, "
                          "text_file, or texts")
+    if world_size > 1:
+        # merge the per-rank manifests so every rank writes the same global
+        # manifest (shard files themselves never needed a gather)
+        from clip_event_tpu.parallel.collectives import all_gather_objects
+
+        gathered = all_gather_objects(manifests)
+        merged: Dict[str, Dict] = {}
+        for rank_manifests in gathered:
+            for k, m in rank_manifests.items():
+                if k not in merged:
+                    merged[k] = dict(m, count=0, shards=[])
+                merged[k]["count"] += m["count"]
+                merged[k]["shards"] += m["shards"]
+        manifests = merged
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifests, fh, indent=2)
     return {k: {"count": m["count"], "shards": len(m["shards"]), "dim": m["dim"]}

@@ -140,3 +140,39 @@ def test_embed_duplicate_stems_and_string_image_files(tmp_path, params):
     }
     summary = run_embed(cfg, params, TINY_EVAL)
     assert summary["images"]["count"] == 1
+
+
+def test_embed_stream_two_rank_shards(tmp_path):
+    """Two simulated ranks export disjoint rank-tagged shards whose union is
+    the full corpus with no wrap-around-padding duplicates (odd-sized)."""
+    from PIL import Image
+
+    from clip_event_tpu.embed import embed_stream
+    from clip_event_tpu.evals.common import Encoders
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(
+            rng.integers(0, 255, size=(40, 50, 3), dtype=np.uint8)
+        ).save(img_dir / f"im{i}.jpg")
+
+    params = init_params(jax.random.PRNGKey(0), TINY_EVAL)
+    enc = Encoders(params, TINY_EVAL, batch_size=2)
+    ds = ImageFilesDataset([str(img_dir)], image_size=TINY_EVAL.image_resolution)
+    out = str(tmp_path / "out")
+    manifests = [
+        embed_stream(ds, enc, "image", "image", out, shard_size=100,
+                     batch_size=2, num_workers=2, rank=r, world_size=2)
+        for r in range(2)
+    ]
+    assert sum(m["count"] for m in manifests) == 5
+    ids = []
+    for m in manifests:
+        for s in m["shards"]:
+            with np.load(os.path.join(out, s)) as z:
+                ids.extend(z["ids"].tolist())
+                assert z["features"].shape[1] == TINY_EVAL.embed_dim
+    assert sorted(ids) == [f"im{i}" for i in range(5)]
+    assert any("r00-" in s for s in manifests[0]["shards"])
