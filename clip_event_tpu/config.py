@@ -82,6 +82,9 @@ _DEFAULTS: Dict[str, Any] = {
     "use_pallas_attention": True,
     "num_workers": 8,
     "prefetch": 2,
+    # offline preprocessed-image cache dir (cache_images.py); None = live
+    # decode. The CLIP_EVENT_IMAGE_CACHE env var overrides at runtime.
+    "image_cache": None,
     "max_objects": None,
     "max_entities": 16,
     "max_events": 8,

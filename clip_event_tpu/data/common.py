@@ -27,10 +27,20 @@ from clip_event_tpu.data.transform import preprocess_image
 def load_image_file(path: str, size: int = 224) -> np.ndarray:
     """Decode + CLIP-preprocess one image file → float32 [size, size, 3].
 
-    Uses the native C++ path (libjpeg + fixed-point bicubic, GIL-free) when
-    built; falls back to PIL + the pure-Python bit-exact transform.
-    Disable with CLIP_EVENT_NATIVE=0.
+    Checks the offline preprocessed cache first (`data.cache`, bit-exact
+    uint8 rows, activated explicitly or via CLIP_EVENT_IMAGE_CACHE); on a
+    miss uses the native C++ path (libjpeg + fixed-point bicubic, GIL-free)
+    when built; falls back to PIL + the pure-Python bit-exact transform.
+    Disable the native path with CLIP_EVENT_NATIVE=0.
     """
+    from clip_event_tpu.data import cache as image_cache
+
+    cached = image_cache.active_cache()
+    if cached is not None:
+        hit = cached.get(path, size)
+        if hit is not None:
+            return hit
+
     if os.environ.get("CLIP_EVENT_NATIVE", "1") != "0" and path.lower().endswith(
         (".jpg", ".jpeg")
     ):

@@ -23,7 +23,17 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+# In a source checkout the C++ lives at <repo>/native; an installed package
+# has no native dir next to site-packages, so deployments point
+# CLIP_EVENT_NATIVE_DIR at a checkout of native/ (or pre-build the .so
+# there); otherwise the loader falls back to the pure-Python path.
+_NATIVE_DIR = os.environ.get(
+    "CLIP_EVENT_NATIVE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+    ),
+)
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libclip_event_host.so")
 _lock = threading.Lock()
 _lib = None
@@ -43,7 +53,12 @@ def _build() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    A stale prebuilt .so (older checkout) may predate newer entry points —
+    binding then raises AttributeError, which triggers one rebuild+reload
+    before giving up.
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
@@ -51,34 +66,53 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if not os.path.exists(_LIB_PATH) and not _build():
             return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError as exc:
-            log.info("native preprocess load failed: %s", exc)
-            return None
-        lib.ce_jpeg_dims.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.ce_jpeg_dims.restype = ctypes.c_int
-        lib.ce_preprocess_jpeg.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.ce_preprocess_jpeg.restype = ctypes.c_int
-        lib.ce_preprocess_rgb.argtypes = [
-            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.ce_preprocess_rgb.restype = ctypes.c_int
-        lib.ce_resize_bicubic.argtypes = [
-            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
-        ]
-        lib.ce_resize_bicubic.restype = ctypes.c_int
+        for attempt in (0, 1):
+            try:
+                lib = _bind(ctypes.CDLL(_LIB_PATH))
+                break
+            except OSError as exc:
+                log.info("native preprocess load failed: %s", exc)
+                return None
+            except AttributeError as exc:
+                if attempt or not _build():
+                    log.info("native preprocess symbols missing: %s", exc)
+                    return None
         _lib = lib
         return _lib
 
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.ce_jpeg_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.ce_jpeg_dims.restype = ctypes.c_int
+    lib.ce_preprocess_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.ce_preprocess_jpeg.restype = ctypes.c_int
+    lib.ce_preprocess_rgb.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.ce_preprocess_rgb.restype = ctypes.c_int
+    lib.ce_resize_bicubic.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.ce_resize_bicubic.restype = ctypes.c_int
+    lib.ce_preprocess_jpeg_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.ce_preprocess_jpeg_u8.restype = ctypes.c_int
+    lib.ce_preprocess_rgb_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.ce_preprocess_rgb_u8.restype = ctypes.c_int
+    return lib
 
 def available() -> bool:
     return get_lib() is not None
@@ -110,6 +144,37 @@ def preprocess_rgb(rgb: np.ndarray, size: int = 224) -> Optional[np.ndarray]:
         rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         rgb.shape[0], rgb.shape[1], size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
+
+
+def preprocess_jpeg_file_u8(path: str, size: int = 224) -> Optional[np.ndarray]:
+    """JPEG file → uint8 [size, size, 3] (resize + crop, pre-normalize).
+
+    The bit-exact intermediate the image cache stores; `None` falls back to
+    the pure-Python path (`transform.preprocess_image_u8`)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as fh:
+        data = fh.read()
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.ce_preprocess_jpeg_u8(
+        data, len(data), size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    )
+    return out if rc == 0 else None
+
+
+def preprocess_rgb_u8(rgb: np.ndarray, size: int = 224) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.ce_preprocess_rgb_u8(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        rgb.shape[0], rgb.shape[1], size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     return out if rc == 0 else None
 

@@ -141,6 +141,22 @@ def normalize(img: np.ndarray) -> np.ndarray:
     return (x - CLIP_MEAN) / CLIP_STD
 
 
+def preprocess_image_u8(img, size: int = 224) -> np.ndarray:
+    """CLIP preprocessing through the uint8 stages: PIL image or uint8 array
+    → uint8 [size, size, 3] (resize + center crop, pre-normalize).
+
+    This intermediate is bitwise-exact vs the reference transform, so it is
+    the representation the offline image cache stores — `normalize` applied
+    at read time reproduces `preprocess_image` exactly.
+    """
+    if not isinstance(img, np.ndarray):
+        img = np.asarray(img.convert("RGB"))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    img = resize_shortside(img, size)
+    return center_crop(img, size)
+
+
 def preprocess_image(img, size: int = 224) -> np.ndarray:
     """Full CLIP preprocessing: PIL image or uint8 array → float32 [size,size,3].
 
@@ -148,13 +164,7 @@ def preprocess_image(img, size: int = 224) -> np.ndarray:
     conversion happens first (reference `dataset_voa.py:186` converts before
     transforming; for RGB JPEGs this is identical to converting after).
     """
-    if not isinstance(img, np.ndarray):
-        img = np.asarray(img.convert("RGB"))
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
-    img = resize_shortside(img, size)
-    img = center_crop(img, size)
-    return normalize(img)
+    return normalize(preprocess_image_u8(img, size))
 
 
 # --------------------------------------------------------------------------

@@ -48,6 +48,10 @@ def run(description: str, evaluate) -> None:
     args = build_parser(description).parse_args()
     with open(args.cfg) as fh:
         cfg = json.load(fh)
+    if cfg.get("image_cache") and not os.environ.get("CLIP_EVENT_IMAGE_CACHE"):
+        from clip_event_tpu.data import cache as image_cache
+
+        image_cache.activate(cfg["image_cache"])
     if cfg.get("use_pallas_attention", True):
         # same flagship attention path as training (PERFORMANCE.md); evals
         # run single-chip jit, so no mesh is needed. On non-TPU backends the

@@ -216,9 +216,12 @@ int ce_resize_bicubic(const uint8_t* src, int in_h, int in_w, int out_h,
   return 0;
 }
 
-// Full CLIP preprocessing of a decoded RGB image:
-// short-side resize -> center crop -> /255 -> normalize. out: [size,size,3] f32.
-int ce_preprocess_rgb(const uint8_t* rgb, int h, int w, int size, float* out) {
+// CLIP preprocessing through the uint8 stages of a decoded RGB image:
+// short-side resize -> center crop. out: [size,size,3] u8. This is the
+// bit-exact intermediate the float path normalizes, and the representation
+// the offline image cache stores (normalization is applied at read time).
+int ce_preprocess_rgb_u8(const uint8_t* rgb, int h, int w, int size,
+                         uint8_t* out) {
   int out_h, out_w;
   if ((h <= w && h == size) || (w <= h && w == size)) {
     out_h = h;
@@ -261,13 +264,22 @@ int ce_preprocess_rgb(const uint8_t* rgb, int h, int w, int size, float* out) {
 
   for (int y = 0; y < size; ++y) {
     const uint8_t* row = base + (static_cast<size_t>(y + top) * bw + left) * 3;
-    float* orow = out + static_cast<size_t>(y) * size * 3;
-    for (int x = 0; x < size; ++x) {
-      for (int ch = 0; ch < 3; ++ch) {
-        const float v = row[x * 3 + ch] * (1.0f / 255.0f);
-        orow[x * 3 + ch] = (v - kClipMean[ch]) / kClipStd[ch];
-      }
-    }
+    std::memcpy(out + static_cast<size_t>(y) * size * 3, row,
+                static_cast<size_t>(size) * 3);
+  }
+  return 0;
+}
+
+// Full CLIP preprocessing of a decoded RGB image:
+// short-side resize -> center crop -> /255 -> normalize. out: [size,size,3] f32.
+int ce_preprocess_rgb(const uint8_t* rgb, int h, int w, int size, float* out) {
+  std::vector<uint8_t> crop(static_cast<size_t>(size) * size * 3);
+  int rc = ce_preprocess_rgb_u8(rgb, h, w, size, crop.data());
+  if (rc) return rc;
+  for (size_t i = 0; i < crop.size(); ++i) {
+    const int ch = static_cast<int>(i % 3);
+    const float v = crop[i] * (1.0f / 255.0f);
+    out[i] = (v - kClipMean[ch]) / kClipStd[ch];
   }
   return 0;
 }
@@ -279,6 +291,16 @@ int ce_preprocess_jpeg(const uint8_t* data, size_t len, int size, float* out) {
   std::vector<uint8_t> rgb(static_cast<size_t>(h) * w * 3);
   if (ce_jpeg_decode(data, len, rgb.data(), h, w)) return 1;
   return ce_preprocess_rgb(rgb.data(), h, w, size, out);
+}
+
+// JPEG bytes -> uint8 [size,size,3] crop (pre-normalize stage) in one call.
+int ce_preprocess_jpeg_u8(const uint8_t* data, size_t len, int size,
+                          uint8_t* out) {
+  int h, w;
+  if (ce_jpeg_dims(data, len, &h, &w)) return 1;
+  std::vector<uint8_t> rgb(static_cast<size_t>(h) * w * 3);
+  if (ce_jpeg_decode(data, len, rgb.data(), h, w)) return 1;
+  return ce_preprocess_rgb_u8(rgb.data(), h, w, size, out);
 }
 
 }  // extern "C"

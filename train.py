@@ -106,6 +106,11 @@ def main():
         log.info("=> random init (%s)", mcfg)
 
     # ---- data
+    if cfg.get("image_cache"):
+        from clip_event_tpu.data import cache as image_cache
+
+        if not os.environ.get("CLIP_EVENT_IMAGE_CACHE"):
+            image_cache.activate(cfg["image_cache"])
     dataset = VOADescriptionDataset(
         posneg_descriptions_json=cfg["posneg_descriptions_json"],
         image_caption_jsons=cfg["image_caption_json"],
