@@ -92,6 +92,13 @@ _DEFAULTS: Dict[str, Any] = {
     "multiattention_pooling": "mean",
     "steps_per_epoch_schedule": True,
     "steps_per_dispatch": 1,
+    # step-granular checkpointing: save a rolling mid-epoch checkpoint every
+    # N optimizer steps (0 = epoch-granular only, the reference's behavior);
+    # resume re-enters the interrupted epoch at the saved batch offset
+    "save_steps": 0,
+    # hard stop after N optimizer steps (0 = run to max_epoch); a mid-epoch
+    # checkpoint is saved at the stop point
+    "max_steps": 0,
     # optional per-epoch zero-shot matching validation (tracks `perf`)
     "validate_every": 0,
     "val_image_caption_json": [],

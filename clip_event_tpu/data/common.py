@@ -178,10 +178,15 @@ class DataLoader:
         self.rank = rank
         self.world_size = world_size
         self.epoch = epoch
+        # mid-epoch resume support: skip the first `start_batch` batches of
+        # the NEXT iteration (the index order for a given epoch is
+        # deterministic, so this reproduces the interrupted epoch's tail)
+        self.start_batch = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
         """Reshuffle per epoch (reference `train_sampler.set_epoch`)."""
         self.epoch = epoch
+        self.start_batch = start_batch
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -229,9 +234,11 @@ class DataLoader:
                     continue
             return False
 
+        first_batch = min(self.start_batch, n_batches)
+
         def produce():
             try:
-                for b in range(n_batches):
+                for b in range(first_batch, n_batches):
                     if stop.is_set():
                         return
                     item = build_batch(

@@ -45,8 +45,16 @@ def save_checkpoint(
     opt_state: Any,
     perf: float = 0.0,
     step: int = 0,
+    mid_epoch: bool = False,
 ) -> Optional[str]:
-    """Rank-0 save; errors are logged, not raised (engine.py:215-218)."""
+    """Rank-0 save; errors are logged, not raised (engine.py:215-218).
+
+    `mid_epoch=True` marks a step-granular save (config `save_steps` /
+    `max_steps`): the checkpoint path is the SAME as the epoch's final save
+    (a rolling overwrite — the latest state is what crash recovery wants),
+    and resume re-enters epoch `epoch` at batch offset derived from `step`
+    instead of starting at `epoch + 1`.
+    """
     if jax.process_index() != 0:
         return None
     import orbax.checkpoint as ocp
@@ -63,7 +71,13 @@ def save_checkpoint(
                 },
                 force=True,
             )
-        meta = {"epoch": epoch, "model": task, "perf": float(perf), "step": int(step)}
+        meta = {
+            "epoch": epoch,
+            "model": task,
+            "perf": float(perf),
+            "step": int(step),
+            "mid_epoch": bool(mid_epoch),
+        }
         with open(path + ".meta.json", "w") as fh:
             json.dump(meta, fh)
         log.info("=> saved checkpoint to %s", path)
@@ -76,7 +90,7 @@ def save_checkpoint(
 def load_meta(path: str) -> dict:
     """Checkpoint sidecar metadata {epoch, model, perf, step} — readable
     before the optimizer/template needed for a typed restore exist."""
-    meta = {"epoch": 0, "model": "", "perf": 0.0, "step": 0}
+    meta = {"epoch": 0, "model": "", "perf": 0.0, "step": 0, "mid_epoch": False}
     if os.path.exists(path + ".meta.json"):
         meta.update(json.load(open(path + ".meta.json")))
     return meta

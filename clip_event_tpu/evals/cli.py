@@ -16,7 +16,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
 
 def load_model_from_cfg(cfg: dict):
     """Returns (params, CLIPConfig) from `ckpt` (orbax dir or torch file) or
-    `model` preset with random init (for smoke runs)."""
+    `model` preset with random init (for smoke runs).
+
+    `"quantize": "int8"` switches the dense weights to the W8A8 inference
+    path (`ops/quant.py` — s8×s8→s32 MXU matmuls, 2× the bf16 rate)."""
     from clip_event_tpu.config import model_config
     from clip_event_tpu.engine.checkpoint import (
         import_initial_checkpoint,
@@ -27,15 +30,27 @@ def load_model_from_cfg(cfg: dict):
     if ckpt:
         if os.path.isdir(ckpt):
             params, _opt, _meta = restore_checkpoint(ckpt)
-            return params, model_config(cfg)
-        return import_initial_checkpoint(ckpt)
-    import jax
+            mcfg = model_config(cfg)
+        else:
+            params, mcfg = import_initial_checkpoint(ckpt)
+    else:
+        import jax
 
-    logging.warning("no `ckpt` in config — evaluating a randomly initialized model")
-    from clip_event_tpu.models import init_params
+        logging.warning("no `ckpt` in config — evaluating a randomly initialized model")
+        from clip_event_tpu.models import init_params
 
-    mcfg = model_config(cfg)
-    return init_params(jax.random.PRNGKey(cfg.get("seed", 0)), mcfg), mcfg
+        mcfg = model_config(cfg)
+        params = init_params(jax.random.PRNGKey(cfg.get("seed", 0)), mcfg)
+
+    quant = cfg.get("quantize")
+    if quant:
+        if quant != "int8":
+            raise ValueError(f"quantize={quant!r}; only 'int8' is supported")
+        from clip_event_tpu.ops.quant import quantize_params
+
+        logging.info("quantizing dense weights to int8 (W8A8 inference path)")
+        params = quantize_params(params)
+    return params, mcfg
 
 
 def run(description: str, evaluate) -> None:

@@ -151,9 +151,7 @@ def encode_text(
     x = L.layer_norm(x, params["ln_final"])
     eot_idx = jnp.argmax(tokens, axis=-1)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
-    return jnp.dot(
-        pooled, params["text_projection"].astype(pooled.dtype), preferred_element_type=jnp.float32
-    ).astype(pooled.dtype)
+    return L.linear(pooled, params["text_projection"])
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:

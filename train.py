@@ -95,7 +95,12 @@ def main():
         resume_path = str(cfg["begin_ckpt"])
         meta = load_meta(resume_path)
         best_perf = meta.get("perf", 0.0)
-        begin_epoch = int(meta.get("epoch", begin_epoch)) + (1 if cfg["is_train"] else 0)
+        # a mid-epoch (step-granular) checkpoint re-enters its own epoch at
+        # the saved batch offset; an end-of-epoch one starts the next epoch
+        mid_epoch_resume = bool(meta.get("mid_epoch", False))
+        begin_epoch = int(meta.get("epoch", begin_epoch)) + (
+            1 if cfg["is_train"] and not mid_epoch_resume else 0
+        )
         params = None
         log.info("=> resuming %s (epoch %s, perf %s)", resume_path, begin_epoch, best_perf)
     elif cfg["begin_ckpt"]:
@@ -104,6 +109,8 @@ def main():
     else:
         params = init_params(jax.random.PRNGKey(cfg["seed"]), mcfg)
         log.info("=> random init (%s)", mcfg)
+    if resume_path is None:
+        mid_epoch_resume = False
 
     # ---- data
     if cfg.get("image_cache"):
@@ -229,9 +236,26 @@ def main():
 
     # ---- epoch loop
     global_step = resume_step
+    resume_in_epoch = 0
+    if mid_epoch_resume and cfg["is_train"]:
+        # batches == optimizer steps (drop_last=True ⇒ uniform epochs), so
+        # the in-epoch offset follows from the global step. Requires the
+        # resumed run to keep batch_size/world_size (steps_per_epoch) fixed.
+        resume_in_epoch = min(
+            max(resume_step - begin_epoch * steps_per_epoch, 0), steps_per_epoch
+        )
+        if resume_in_epoch:
+            log.info(
+                "=> mid-epoch resume: epoch %d restarts at batch %d/%d",
+                begin_epoch, resume_in_epoch, steps_per_epoch,
+            )
+    save_steps = max(int(cfg["save_steps"]), 0)
+    max_steps = max(int(cfg["max_steps"]), 0)
+    next_save = ((global_step // save_steps) + 1) * save_steps if save_steps else None
+    stop_training = False
     for epoch in range(begin_epoch, cfg["max_epoch"]):
         log.info("=> Epoch[%d]: train start", epoch)
-        loader.set_epoch(epoch)
+        loader.set_epoch(epoch, start_batch=resume_in_epoch if epoch == begin_epoch else 0)
         metric_logger = MetricLogger()
         start = time.time()
         profiling = args.profile_dir and epoch == begin_epoch and jax.process_index() == 0
@@ -254,6 +278,25 @@ def main():
                 scalars["lr"] = float(schedule(step_idx))
                 metric_logger.update(**scalars)
             pending = []
+
+        def step_hooks() -> bool:
+            """save_steps / max_steps checks; returns True to stop the run."""
+            nonlocal next_save, stop_training
+            hit_max = bool(max_steps) and global_step >= max_steps
+            if (next_save is not None and global_step >= next_save) or hit_max:
+                drain()
+                save_checkpoint(
+                    ckpt_dir, task, epoch, state.params, state.opt_state,
+                    best_perf, step=global_step, mid_epoch=True,
+                )
+                log.info("=> step checkpoint at global step %d", global_step)
+                if next_save is not None:
+                    while next_save <= global_step:
+                        next_save += save_steps
+            if hit_max:
+                log.info("=> max_steps=%d reached, stopping", max_steps)
+                stop_training = True
+            return stop_training
 
         if steps_per_dispatch > 1:
             import jax.numpy as _jnp
@@ -280,6 +323,8 @@ def main():
                         global_step += 1
                     if len(pending) >= max(cfg["print_freq"], 1):
                         drain()
+                    if step_hooks():
+                        break
             drain()
         else:
             for batch, _meta in metric_logger.log_every(
@@ -292,6 +337,8 @@ def main():
                 global_step += 1
                 if len(pending) >= max(cfg["print_freq"], 1):
                     drain()
+                if step_hooks():
+                    break
             drain()
         if profiling:
             jax.profiler.stop_trace()
@@ -299,6 +346,10 @@ def main():
         # global stats before logging (reference utils.py:36-47)
         metric_logger.synchronize_between_processes()
         log.info("=> Epoch[%d]: train end, duration: %.2fs", epoch, time.time() - start)
+        if stop_training:
+            # mid-epoch stop: the step checkpoint was already written by
+            # step_hooks; skip the end-of-epoch save/validation
+            break
 
         if writer is not None:
             writer.add_scalar("train_loss", metric_logger.loss.global_avg, epoch)
