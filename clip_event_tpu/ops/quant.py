@@ -70,11 +70,42 @@ def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     return QuantWeight(q=q, scale=scale)
 
 
+# GEMM backend for quantized_linear. "auto" == "xla": the fused VMEM-resident
+# kernel (ops.quant_pallas) MEASURED ~40% SLOWER than XLA's own
+# quantize→int8-dot→rescale schedule at every CLIP shape and block size
+# (PERFORMANCE.md "Int8 W8A8"), so it is opt-in ("pallas") for measurement
+# only. NOTE: the jit/checkpoint trace caches do NOT key on this global —
+# build fresh jitted functions after changing it (tools/bench_components.py
+# bench_quant shows the pattern).
+_GEMM_IMPL = "auto"
+
+
+def set_gemm_impl(impl: str) -> None:
+    global _GEMM_IMPL
+    if impl not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown quant GEMM impl {impl!r}")
+    _GEMM_IMPL = impl
+
+
+def _pallas_enabled() -> bool:
+    return _GEMM_IMPL == "pallas"
+
+
 def quantized_linear(
     x: jnp.ndarray, w: QuantWeight, b: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
     """y = dequant(quant(x) @ w.q) (+ b), with dynamic per-row activation
     scales. x: [..., in]; returns [..., out] in x.dtype."""
+    if w.q.ndim == 2 and _pallas_enabled():
+        from clip_event_tpu.ops.quant_pallas import (
+            quantized_matmul,
+            quantized_matmul_supported,
+        )
+
+        k, n = w.q.shape
+        if x.shape[-1] == k and quantized_matmul_supported(k, n):
+            y = quantized_matmul(x.reshape(-1, k), w.q, w.scale, b)
+            return y.reshape(*x.shape[:-1], n)
     x32 = x.astype(jnp.float32)
     s_x = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
     s_x = jnp.maximum(s_x, 1e-12)

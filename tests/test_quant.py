@@ -119,6 +119,88 @@ def test_quantized_params_scan_under_remat():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.fixture
+def pallas_gemm():
+    from clip_event_tpu.ops import quant
+
+    quant.set_gemm_impl("pallas")
+    try:
+        yield
+    finally:
+        quant.set_gemm_impl("auto")
+
+
+@pytest.mark.parametrize(
+    "m,k,n,bias,dtype",
+    [
+        (77, 512, 1536, True, jnp.bfloat16),   # text-tower QKV shape
+        (200, 768, 512, False, jnp.float32),   # M needs padding to the block
+        (33, 384, 128, True, jnp.bfloat16),    # minimum-width output block
+    ],
+)
+def test_quant_pallas_gemm_matches_xla_path(pallas_gemm, m, k, n, bias, dtype):
+    """The fused kernel (interpret mode on CPU) tracks the XLA int8
+    composition to within quantization noise. Not bit-exact: the in-kernel
+    /127 can lower with a 1-ulp different row scale, which is one int8
+    rounding step on a handful of elements (module docstring)."""
+    from clip_event_tpu.ops import quant
+    from clip_event_tpu.ops.quant_pallas import quantized_matmul_supported
+
+    assert quantized_matmul_supported(k, n)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(m, k)), dtype)
+    w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(n,)), jnp.float32) if bias else None
+    qw = quantize_weight(w)
+
+    out = np.asarray(quantized_linear(x, qw, b), np.float32)
+    quant.set_gemm_impl("xla")
+    ref = np.asarray(quantized_linear(x, qw, b), np.float32)
+    assert np.abs(out - ref).max() <= 0.03 * np.abs(ref).max()
+    assert _cos(out, ref).min() > 0.9999
+
+
+def test_quant_pallas_gemm_gate_and_auto():
+    """Non-conforming reduction dims (e.g. ViT-L/14's 588-wide patch embed)
+    must fall back to the XLA composition even under impl='pallas', and
+    `auto` must resolve to the XLA composition (the kernel measured slower —
+    module docstring)."""
+    from clip_event_tpu.ops import quant
+    from clip_event_tpu.ops.quant_pallas import quantized_matmul_supported
+
+    assert not quantized_matmul_supported(588, 1024)
+    assert quantized_matmul_supported(512, 1536)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 588)), jnp.float32)
+    qw = quantize_weight(jnp.asarray(rng.normal(size=(588, 256)), jnp.float32))
+    quant.set_gemm_impl("pallas")
+    try:
+        out = quantized_linear(x, qw, None)
+    finally:
+        quant.set_gemm_impl("auto")
+    ref = quantized_linear(x, qw, None)  # auto on CPU == xla
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert not quant._pallas_enabled()  # auto == xla composition
+
+
+def test_quantized_towers_with_pallas_gemm(pallas_gemm):
+    """Full encoders at a 128-wide config (so the kernel actually engages)
+    stay within the same cosine budget as the XLA int8 path."""
+    cfg = CLIPConfig(128, 32, 2, 128, 16, 77, 49408, 128, 2, 2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    toks = _tokens(rng, 4)
+    ref_i = np.asarray(encode_image(params, cfg, imgs))
+    ref_t = np.asarray(encode_text(params, cfg, toks))
+    q_i = np.asarray(jax.jit(lambda p, x: encode_image(p, cfg, x))(qparams, imgs))
+    q_t = np.asarray(jax.jit(lambda p, t: encode_text(p, cfg, t))(qparams, toks))
+    assert _cos(ref_i, q_i).min() > 0.995
+    assert _cos(ref_t, q_t).min() > 0.995
+
+
 @pytest.mark.slow
 def test_eval_cli_accepts_quantize(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "tests"))

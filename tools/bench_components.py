@@ -548,6 +548,7 @@ def bench_quant():
     from clip_event_tpu.engine.train_step import make_eval_encoders
     from clip_event_tpu.models import VIT_B32, init_params
     from clip_event_tpu.models import layers
+    from clip_event_tpu.ops import quant
     from clip_event_tpu.ops.quant import quantize_params
 
     cfg = VIT_B32
@@ -558,21 +559,32 @@ def bench_quant():
 
     layers.set_attention_impl("pallas")
     try:
-        image_fn, text_fn = make_eval_encoders(cfg, compute_dtype=jnp.bfloat16)
         for tag, bs in (("image", 64), ("image", 256), ("text", 256), ("text", 1024)):
             if tag == "image":
                 x = jnp.asarray(rng.normal(size=(bs, 224, 224, 3)), jnp.float32)
-                fn = image_fn
             else:
                 toks = np.zeros((bs, 77), np.int32)
                 toks[:, 0] = 49406
                 toks[:, 1:10] = rng.integers(1, 49000, (bs, 9))
                 toks[:, 10] = 49407
                 x = jnp.asarray(toks)
-                fn = text_fn
 
             row = {}
-            for label, p in (("bf16", params), ("int8", qparams)):
+            for label, p, gemm in (
+                ("bf16", params, "xla"),
+                ("int8-xla", qparams, "xla"),
+                ("int8-pallas", qparams, "pallas"),
+            ):
+                # quantized_linear reads the GEMM impl at trace time, and the
+                # jit trace-cache does NOT key on it — int8-xla and
+                # int8-pallas take identical pytrees, so reusing one encoder
+                # across labels silently reuses the first label's compiled
+                # trace. Build FRESH jitted encoders per label.
+                quant.set_gemm_impl(gemm)
+                image_fn, text_fn = make_eval_encoders(
+                    cfg, compute_dtype=jnp.bfloat16
+                )
+                fn = image_fn if tag == "image" else text_fn
 
                 @jax.jit
                 def many(p_, xx, c0):
@@ -596,12 +608,14 @@ def bench_quant():
                     flush=True,
                 )
             print(
-                f"{tag} encode B={bs:<5d} int8 speedup: "
-                f"{row['bf16'] / row['int8']:.2f}x",
+                f"{tag} encode B={bs:<5d} speedups vs bf16: "
+                f"xla {row['bf16'] / row['int8-xla']:.2f}x  "
+                f"pallas {row['bf16'] / row['int8-pallas']:.2f}x",
                 flush=True,
             )
     finally:
         layers.set_attention_impl("xla")
+        quant.set_gemm_impl("auto")
 
 
 def bench_ot():
