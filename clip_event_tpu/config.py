@@ -78,7 +78,8 @@ _DEFAULTS: Dict[str, Any] = {
     "remat": True,
     "use_pallas_ot": "auto",
     # fused packed-QKV attention kernel: 339→239 ms/step on ViT-B/32 B=256
-    # (PERFORMANCE.md); falls back to the XLA einsum path under tp>1 meshes
+    # (PERFORMANCE.md); under tp>1 meshes it runs head-group-parallel via
+    # shard_map (einsum fallback only when heads/width don't divide tp)
     "use_pallas_attention": True,
     "num_workers": 8,
     "prefetch": 2,

@@ -83,19 +83,16 @@ def _resolve_impl():
     """The global impl as a hashable static value: "xla" or ("pallas", mesh).
 
     Under Megatron tensor parallelism (a 'tp' mesh axis of size > 1) the
-    packed-QKV lane layout is sharded across devices, which the kernel's
-    in-VMEM head slicing cannot see — fall back to the einsum path, which
-    GSPMD partitions correctly.
+    kernel runs head-group-parallel via `sharded_attention_tp` when the
+    per-device dims conform (decided per call site in
+    `multi_head_attention`, which knows the shapes); non-conforming shapes
+    fall back to the einsum path, which GSPMD partitions correctly.
     """
     if _ATTENTION_IMPL != "pallas":
         return "xla"
     mesh = _ATTENTION_MESH
-    if mesh is not None:
-        tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
-        if tp > 1:
-            return "xla"
-        if mesh.devices.size == 1:
-            mesh = None
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None
     return ("pallas", mesh)
 
 
@@ -124,6 +121,40 @@ def multi_head_attention(
         fused_attention_supported,
         head_grid_supported,
     )
+
+    tp = (
+        dict(zip(mesh.axis_names, mesh.devices.shape)).get("tp", 1)
+        if mesh is not None
+        else 1
+    )
+    if kind == "pallas" and tp > 1:
+        # Megatron tp: run the kernel head-group-parallel over (dp, tp) when
+        # the per-device dims conform; otherwise einsum (GSPMD-partitioned).
+        from clip_event_tpu.ops.attention_pallas import (
+            fused_attention_qkv,
+            fused_attention_qkv_headgrid,
+            sharded_attention_tp,
+        )
+        from clip_event_tpu.parallel.mesh import DATA_AXIS
+
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        dp = shape.get(DATA_AXIS, 0)
+        wl, hl = W // tp, num_heads // tp
+        kernel_fn = None
+        if W % tp == 0 and num_heads % tp == 0 and dp > 0 and B % dp == 0:
+            if fused_attention_supported(S, wl, hl):
+                kernel_fn = fused_attention_qkv
+            elif head_grid_supported(S, wl, hl):
+                kernel_fn = fused_attention_qkv_headgrid
+        if kernel_fn is None:
+            kind = "xla"
+        else:
+            out = sharded_attention_tp(
+                kernel_fn, qkv, attn_bias, num_heads, scale, mesh,
+                DATA_AXIS, "tp",
+            )
+            out = checkpoint_name(out, "attn_core_out")
+            return linear(out, params["out_w"], params["out_b"])
 
     if kind == "pallas" and not fused_attention_supported(S, W, num_heads):
         # whole-width block doesn't fit VMEM (ViT-L/14 vision S=257,

@@ -237,6 +237,49 @@ def fused_attention_qkv_sharded(qkv, bias, num_heads, scale, mesh, axis):
     return sharded_attention(fused_attention_qkv, qkv, bias, num_heads, scale, mesh, axis)
 
 
+def sharded_attention_tp(kernel_fn, qkv, bias, num_heads, scale, mesh, dp_axis, tp_axis):
+    """(dp × tp)-sharded kernel invocation for Megatron tensor parallelism.
+
+    Under column-parallel QKV (`parallel/sharding.py`) the packed [B, S, 3W]
+    activation is lane-sharded over 'tp' in canonical [q|k|v] order, whose
+    tp-chunks cross the q/k/v section boundaries — useless to the kernel.
+    But attention is embarrassingly parallel over HEADS, and the Megatron
+    head-groups are contiguous within each section, so: reorder the lanes to
+    per-group packing [q_g|k_g|v_g] (one lane-permuting reshard under GSPMD —
+    the einsum path pays the equivalent reshard at its q/k/v split), then
+    shard_map the kernel over (dp, tp) with H/tp local heads. Each device's
+    local block is a valid packed QKV of an H/tp-head attention, and because
+    head-group g's output IS lanes [g·W/tp, (g+1)·W/tp) of the canonical
+    head-concat, the out_specs reassemble [B, S, W] in canonical order —
+    already lane-sharded exactly the way the row-parallel out-projection
+    wants its input. No inverse permutation, no collectives in the kernel.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B, S, W3 = qkv.shape
+    W = W3 // 3
+    tp = dict(zip(mesh.axis_names, mesh.devices.shape))[tp_axis]
+    wl = W // tp
+    qkv = (
+        qkv.reshape(B, S, 3, tp, wl)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, S, W3)
+    )
+    spec = P(dp_axis, None, tp_axis)
+    out_spec = P(dp_axis, None, tp_axis)
+    h_local = num_heads // tp
+    if bias is None:
+        return jax.shard_map(
+            lambda q: kernel_fn(q, None, h_local, scale),
+            mesh=mesh, in_specs=(spec,), out_specs=out_spec, check_vma=False,
+        )(qkv)
+    return jax.shard_map(
+        lambda q, b: kernel_fn(q, b, h_local, scale),
+        mesh=mesh, in_specs=(spec, P(None, None)), out_specs=out_spec,
+        check_vma=False,
+    )(qkv, bias)
+
+
 
 # --------------------------------------------------------------- head-gridded
 # Variant for sequences whose whole-width block cannot fit VMEM (ViT-L/14

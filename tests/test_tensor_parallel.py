@@ -78,12 +78,13 @@ def test_tp_unit_mesh_replicates():
     assert all(s.spec == P() for s in jax.tree.leaves(shardings))
 
 
-def test_pallas_config_falls_back_to_xla_under_tp():
-    """use_pallas_attention=true + tp>1 must silently land on the einsum
-    path (the packed-QKV lane layout is tp-sharded, invisible to the
-    kernel's in-VMEM head slicing). Asserted the way
-    test_remat_cache_keyed_on_impl does: via the lowered HLO of the
-    remat'd transformer under the GLOBAL impl config train.py sets."""
+def test_pallas_config_engages_or_falls_back_under_tp():
+    """use_pallas_attention=true + tp>1 runs the head-group-parallel kernel
+    (`sharded_attention_tp`) when the per-device dims conform, and silently
+    lands on the einsum path when they don't (heads not divisible by tp).
+    Asserted the way test_remat_cache_keyed_on_impl does: via the lowered
+    HLO of the remat'd transformer under the GLOBAL impl config train.py
+    sets."""
     from clip_event_tpu.models import layers as L
 
     rng = np.random.default_rng(7)
@@ -108,12 +109,53 @@ def test_pallas_config_falls_back_to_xla_under_tp():
         hlo_dp = lower_with_global()
         assert hlo_dp != hlo_xla
 
-        # tp>1 mesh: auto-fallback — identical HLO to the einsum path
-        L.set_attention_impl("pallas", make_mesh_2d(dp=4, tp=2))
-        assert L._resolve_impl() == "xla"
+        # conforming tp mesh (H % tp == 0, B % dp == 0): kernel engages
+        L.set_attention_impl("pallas", make_mesh_2d(dp=2, tp=2))
+        assert L._resolve_impl() != "xla"
+        assert lower_with_global() != hlo_xla
+
+        # non-conforming tp (H=2 % tp=4 != 0): auto-fallback — identical
+        # HLO to the einsum path
+        L.set_attention_impl("pallas", make_mesh_2d(dp=2, tp=4))
         assert lower_with_global() == hlo_xla
     finally:
         L.set_attention_impl("xla")
+
+
+def test_tp_pallas_attention_matches_einsum():
+    """Head-group-parallel kernel under (dp × tp): forward and grads (params
+    AND input) match the einsum path. Covers both the whole-width and the
+    lane-permutation correctness (a wrong [q|k|v]→[q_g|k_g|v_g] reorder
+    would scramble heads, not just perturb numerics)."""
+    from clip_event_tpu.models import layers as L
+
+    W, H, S, B = 64, 4, 16, 4
+    tt = L.init_transformer(jax.random.PRNGKey(1), 2, W)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(B, S, W)), jnp.float32
+    )
+    bias = L.causal_mask(S)
+    mesh = make_mesh_2d(dp=2, tp=2)
+
+    def run(impl, remat):
+        return L.transformer(x, tt, H, bias, remat=remat, impl=impl)
+
+    for remat in (False, True):
+        ref = np.asarray(run("xla", remat))
+        out = np.asarray(run(("pallas", mesh), remat))
+        np.testing.assert_allclose(ref, out, atol=3e-5, rtol=1e-4)
+
+    def loss(p, xx, impl):
+        return jnp.sum(
+            L.transformer(xx, p, H, bias, remat=True, impl=impl) ** 2
+        )
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(tt, x, "xla")
+    g_tp = jax.grad(loss, argnums=(0, 1))(tt, x, ("pallas", mesh))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_tp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+        )
 
 
 def test_tp_checkpoint_save_restore_reshard_step(tmp_path):
