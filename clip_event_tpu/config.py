@@ -81,6 +81,10 @@ _DEFAULTS: Dict[str, Any] = {
     # (PERFORMANCE.md); under tp>1 meshes it runs head-group-parallel via
     # shard_map (einsum fallback only when heads/width don't divide tp)
     "use_pallas_attention": True,
+    # Megatron tensor parallelism: mesh becomes (dp = devices//tp) × tp,
+    # transformer weights column/row-sharded (parallel/sharding.py); 1 = dp
+    # only. The stretch parallelism for ViT-L/14+ (SURVEY §2.7).
+    "tp": 1,
     "num_workers": 8,
     "prefetch": 2,
     # offline preprocessed-image cache dir (cache_images.py); None = live
@@ -126,6 +130,8 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
 
     if not isinstance(out["batch_size"], int) or out["batch_size"] <= 0:
         raise ConfigError("batch_size must be a positive int")
+    if not isinstance(out["tp"], int) or out["tp"] < 1:
+        raise ConfigError("tp must be a positive int (1 = data-parallel only)")
     if out["begin_epoch"] > out["max_epoch"]:
         raise ConfigError("begin_epoch must be ≤ max_epoch")
 

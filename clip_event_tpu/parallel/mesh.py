@@ -72,9 +72,13 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     measured 1.4× slower on bare matmuls and 2.4× on the full train step on
     this backend (PERFORMANCE.md "GSPMD single-device overhead").
     """
-    n = mesh.devices.size
-    if n == 1:
+    if mesh.devices.size == 1:
         return {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+    # leading axis divides the DATA axis, not the whole mesh — on a 2-D
+    # (dp × tp) mesh the batch is sharded over dp and replicated over tp
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        DATA_AXIS, mesh.devices.size
+    )
     sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
 

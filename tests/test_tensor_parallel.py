@@ -205,3 +205,75 @@ def test_tp_checkpoint_save_restore_reshard_step(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     for a, b in zip(jax.tree.leaves(ref_state.opt_state), jax.tree.leaves(resumed.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_cli_tp_end_to_end(tmp_path):
+    """`train.py --cfg` with tp=2: the 2-D (dp=4 × tp=2) mesh trains a tiny
+    model end-to-end on the fixture corpus (Megatron-sharded weights +
+    head-group-parallel pallas attention), checkpoints, then a second
+    invocation RESUMES from the tp checkpoint (canonical host arrays →
+    re-sharded moments, train.py's tp resume branch)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tests.fixtures import make_voa_fixture
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "tpsmoke",
+        "constrastive_loss": "ce",
+        "constrastive_overbatch": True,
+        "alignment": False,
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "load_object": False,
+        "load_ie": False,
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "is_train": True,
+        "begin_epoch": 0,
+        "max_epoch": 1,
+        "batch_size": 4,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "weight_decay": 0.0,
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "tp": 2,
+        "use_pallas_attention": True,
+        "num_workers": 2,
+        "validate_every": 0,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64,
+            "transformer_heads": 2, "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "mesh: dp=4 x tp=2" in proc.stderr + proc.stdout
+    ckpt0 = tmp_path / "ckpt" / "tpsmoke" / "tpsmoke_0"
+    assert ckpt0.exists()
+
+    resume_cfg = dict(cfg, begin_ckpt=str(ckpt0), max_epoch=2)
+    cfg_path2 = tmp_path / "cfg2.json"
+    cfg_path2.write_text(json.dumps(resume_cfg))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path2)],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (tmp_path / "ckpt" / "tpsmoke" / "tpsmoke_1").exists()

@@ -218,20 +218,59 @@ def main():
         resume_step = int(meta.get("step", 0))
         log.info("=> restored params/opt_state (step %d)", resume_step)
 
-    mesh = make_mesh()
+    tp = int(cfg["tp"])
+    if tp > 1:
+        from clip_event_tpu.parallel.sharding import make_mesh_2d, shard_params
+
+        if jax.device_count() % tp:
+            raise SystemExit(
+                f"tp={tp} does not divide device count {jax.device_count()}"
+            )
+        mesh = make_mesh_2d(tp=tp)
+        log.info("mesh: dp=%d x tp=%d (Megatron weight sharding)",
+                 mesh.devices.shape[0], tp)
+    else:
+        mesh = make_mesh()
     if cfg["use_pallas_attention"]:
         # set BEFORE the first step trace; the mesh lets the kernel shard_map
-        # over dp on multi-chip meshes (GSPMD can't partition a custom call)
+        # over dp on multi-chip meshes (GSPMD can't partition a custom call);
+        # under tp>1 it runs head-group-parallel (einsum fallback for
+        # non-conforming shapes)
         from clip_event_tpu.models.layers import set_attention_impl
 
         set_attention_impl("pallas", mesh)
-    state = create_train_state(replicate(params, mesh), optimizer)
-    state = state._replace(opt_state=replicate(state.opt_state, mesh))
+    if tp > 1:
+        # column/row-sharded transformer weights; optax moments inherit the
+        # param shardings through optimizer.init
+        state = create_train_state(shard_params(params, mesh), optimizer)
+    else:
+        state = create_train_state(replicate(params, mesh), optimizer)
+        state = state._replace(opt_state=replicate(state.opt_state, mesh))
     if resume_opt_state is not None:
-        state = state._replace(
-            opt_state=replicate(resume_opt_state, mesh),
-            step=jnp.asarray(resume_step, jnp.int32),
-        )
+        if tp > 1:
+            import numpy as np
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # re-shard restored (canonical, host) moments to the template's
+            # tp layout; scalar leaves (step counts) replicate
+            def _place(t, x):
+                s = getattr(t, "sharding", None)
+                if not (isinstance(s, NamedSharding) and s.mesh == mesh):
+                    s = NamedSharding(mesh, P())
+                return jax.device_put(np.asarray(x), s)
+
+            resume_opt_state = jax.tree.map(
+                _place, state.opt_state, resume_opt_state
+            )
+            state = state._replace(
+                opt_state=resume_opt_state,
+                step=jnp.asarray(resume_step, jnp.int32),
+            )
+        else:
+            state = state._replace(
+                opt_state=replicate(resume_opt_state, mesh),
+                step=jnp.asarray(resume_step, jnp.int32),
+            )
     del params
 
     # ---- epoch loop
