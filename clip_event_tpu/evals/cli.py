@@ -67,18 +67,36 @@ def run(description: str, evaluate) -> None:
         from clip_event_tpu.data import cache as image_cache
 
         image_cache.activate(cfg["image_cache"])
-    if cfg.get("use_pallas_attention", True):
-        # same flagship attention path as training (PERFORMANCE.md); evals
-        # run single-chip jit, so no mesh is needed. On non-TPU backends the
-        # kernel would only run in Mosaic interpret mode (orders of magnitude
-        # slower than the XLA einsum path), so keep XLA there — interpret mode
-        # is for tests, not production eval runs.
-        import jax
+    import jax
 
+    # Megatron tensor parallelism for inference: "tp": N shards the
+    # transformer weights over a (dp × tp) mesh so models too wide for one
+    # chip evaluate across the slice. Single-process only (multi-process
+    # eval sharding divides DATA per rank; combining both would need a
+    # global mesh handshake this CLI doesn't do).
+    tp = int(cfg.get("tp", 1))
+    mesh = None
+    if tp > 1:
+        if jax.process_count() > 1:
+            raise SystemExit("tp>1 evals are single-process only")
+        if jax.device_count() % tp:
+            raise SystemExit(
+                f"tp={tp} does not divide device count {jax.device_count()}"
+            )
+        from clip_event_tpu.parallel.sharding import make_mesh_2d
+
+        mesh = make_mesh_2d(tp=tp)
+    if cfg.get("use_pallas_attention", True):
+        # same flagship attention path as training (PERFORMANCE.md); on a
+        # tp mesh the kernel runs head-group-parallel via shard_map. On
+        # non-TPU backends the kernel would only run in Mosaic interpret
+        # mode (orders of magnitude slower than the XLA einsum path), so
+        # keep XLA there — interpret mode is for tests, not production eval
+        # runs.
         if jax.default_backend() == "tpu":
             from clip_event_tpu.models.layers import set_attention_impl
 
-            set_attention_impl("pallas")
+            set_attention_impl("pallas", mesh)
         else:
             logging.info(
                 "use_pallas_attention requested but backend is %s — using the "
@@ -86,6 +104,12 @@ def run(description: str, evaluate) -> None:
                 jax.default_backend(),
             )
     params, mcfg = load_model_from_cfg(cfg)
+    if mesh is not None:
+        from clip_event_tpu.parallel.sharding import shard_params
+
+        # float weights shard column/row-wise; int8 QuantWeight leaves are
+        # pytree-internal (no named leaf path) and stay replicated
+        params = shard_params(params, mesh)
     metrics = evaluate(cfg, params, mcfg)
     print(json.dumps(metrics, indent=2))
     out = cfg.get("output_json")

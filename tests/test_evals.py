@@ -394,3 +394,23 @@ def test_sharded_eval_matches_single_process(tmp_path, monkeypatch):
             assert r == 1
     monkeypatch.setattr(collectives, "all_gather_objects", real_gather)
     assert sharded == single
+
+
+@pytest.mark.slow
+def test_eval_cli_tp(tmp_path):
+    """`"tp": 2` in an eval config shards the model over a (dp × tp) mesh
+    (inference tensor parallelism for models too wide for one chip) and
+    produces the same metrics as the single-device run."""
+    from tests.fixtures import make_retrieval_fixture
+
+    ret = make_retrieval_fixture(str(tmp_path / "ret"))
+    base = {
+        "dataset": "coco", "caption_file": ret["coco_json"],
+        "image_dir": ret["coco_dir"], "seed": 0,
+    }
+    m_ref = _run_eval_cli("eval_retrieval.py", dict(base), tmp_path)
+    m_tp = _run_eval_cli("eval_retrieval.py", dict(base, tp=2), tmp_path)
+    assert m_tp["num_images"] == m_ref["num_images"] == 4
+    for k, v in m_ref.items():
+        if isinstance(v, float):
+            assert abs(v - m_tp[k]) < 1e-4, (k, v, m_tp[k])
