@@ -108,6 +108,67 @@ def bench_matmul():
         print(f"{name:<44s} {dt * 1e3:8.3f} ms  {fl / dt / 1e12:7.1f} TF/s", flush=True)
 
 
+def bench_quantgemm():
+    """Isolated quantized-GEMM comparison at the hot CLIP linear shapes:
+    bf16 dot vs the XLA int8 composition (dynamic row quant → s8 dot →
+    rescale) vs the fused Pallas kernel (ops/quant_pallas.py) across its
+    block-size sweep. The measured conclusion (PERFORMANCE.md "Int8 W8A8"):
+    int8-XLA BEATS bf16 at K=768, and the fused kernel loses ~40% at every
+    block size — its per-block VPU quantize serializes against the MXU dot,
+    while XLA overlaps them across ops."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.ops import quant_pallas as qp
+    from clip_event_tpu.ops.quant import quantize_weight, quantized_linear
+
+    shapes = [
+        ("vis qkv  [12800,768]x[768,2304]", 12800, 768, 2304),
+        ("vis fc   [12800,768]x[768,3072]", 12800, 768, 3072),
+        ("text qkv [19712,512]x[512,1536]", 19712, 512, 1536),
+    ]
+    rng = np.random.default_rng(0)
+    iters = 10
+    for name, m, k, n in shapes:
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+        qw = quantize_weight(w)
+        wb = w.astype(jnp.bfloat16)
+        fl = 2 * m * k * n
+
+        def run(fn):
+            @jax.jit
+            def many(x_, c0):
+                def body(c, _):
+                    y = fn(x_ * (1 + c * 1e-12))
+                    return c + jnp.sum(y.astype(jnp.float32)) * 1e-12, None
+
+                c, _ = jax.lax.scan(body, c0, None, length=iters)
+                return c
+
+            return _bench_chain(lambda c: many(x, c), iters)
+
+        dt = run(lambda x_: jnp.dot(x_, wb))
+        print(f"{name} bf16      {dt*1e3:7.3f} ms  {fl/dt/1e12:6.1f} TF/s", flush=True)
+        dt = run(lambda x_: quantized_linear(x_, qw))  # auto == xla composition
+        print(f"{name} int8-xla  {dt*1e3:7.3f} ms  {fl/dt/1e12:6.1f} TF/s", flush=True)
+
+        for tm, tn in ((512, 256), (1024, 256), (512, 512), (1024, 512)):
+            if n % tn or qp._block_bytes(tm, tn, k) >= qp._VMEM_BUDGET:
+                continue
+            orig = qp._pick_blocks
+            qp._pick_blocks = lambda *a, _tm=tm, _tn=tn: (_tm, _tn)
+            try:
+                dt = run(lambda x_: qp.quantized_matmul(x_, qw.q, qw.scale))
+                print(
+                    f"{name} pallas tm={tm} tn={tn}  {dt*1e3:7.3f} ms  "
+                    f"{fl/dt/1e12:6.1f} TF/s",
+                    flush=True,
+                )
+            finally:
+                qp._pick_blocks = orig
+
+
 def _text_inputs(cfg):
     rng = np.random.default_rng(0)
     tokens = rng.integers(1, 49000, size=(B * D, cfg.context_length)).astype(np.int32)
@@ -806,6 +867,7 @@ EXPERIMENTS = {
     "ot": bench_ot,
     "latency": bench_latency,
     "quant": bench_quant,
+    "quantgemm": bench_quantgemm,
 }
 
 
