@@ -21,19 +21,21 @@ This kernel removes both. Per (row-block, col-block) grid step it
 Nothing int32- or int8-shaped ever touches HBM.
 
 **Measured conclusion (round 3): the fusion LOSES.** Isolated-GEMM chained
-timing at the hot CLIP shapes on v5e (PERFORMANCE.md "Int8 W8A8"):
+timing at the hot CLIP shapes on v5e, 500 chained iterations
+(`tools/bench_components.py quantgemm`; PERFORMANCE.md "Int8 W8A8"):
 
   | shape | bf16 | int8-XLA | this kernel (best block) |
   |---|---|---|---|
-  | [12800,768]x[768,2304] | 0.585 ms | **0.506 ms** | 0.699 ms |
-  | [12800,768]x[768,3072] | 0.579 ms | **0.510 ms** | 0.745 ms |
-  | [19712,512]x[512,1536] | **0.425 ms** | 0.458 ms | 0.638 ms |
+  | [12800,768]x[768,2304] | 0.341 ms | **0.289 ms** | 0.497 ms |
+  | [12800,768]x[768,3072] | 0.381 ms | **0.325 ms** | 0.544 ms |
+  | [19712,512]x[512,1536] | 0.231 ms | **0.219 ms** | 0.452 ms |
 
 The premise (XLA's int32 HBM round trip dominates) was wrong: XLA fuses
 the quantize into the producer and the rescale into the consumer, and its
-int8 composition already beats bf16 at K=768. The kernel is ~40% slower at
-every block size swept (TM 512–1024, TN 256–512) because the per-row-block
-VPU quantize serializes against the MXU dot, while XLA overlaps them across
+int8 composition beats bf16 at EVERY hot shape in isolation (to +17%).
+The kernel is 1.7–2.1× slower than the XLA composition at every block
+size swept (TM 512–1024, TN 256–512) because the per-row-block VPU
+quantize serializes against the MXU dot, while XLA overlaps them across
 ops. End-to-end the int8 encode path still loses to bf16 (0.69–0.95×) for
 non-GEMM reasons, so `quantize: int8` remains a memory/footprint option,
 not a speed one. The kernel stays opt-in (`quant.set_gemm_impl("pallas")`)

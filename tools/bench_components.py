@@ -89,7 +89,9 @@ def bench_matmul():
         ("peak      [8192,8192]x[8192,8192]", (8192, 8192), (8192, 8192)),
     ]
     rng = np.random.default_rng(0)
-    iters = 50
+    # ≥500 chained iterations: the tail host-fetch RTT (~24 ms) otherwise
+    # inflates sub-ms rows by up to 3× (PERFORMANCE.md timing traps)
+    iters, calls = 50, 10
     for name, sa, sb in shapes:
         a = jnp.asarray(rng.normal(size=sa), jnp.bfloat16)
         b = jnp.asarray(rng.normal(size=sb), jnp.bfloat16)
@@ -103,7 +105,7 @@ def bench_matmul():
             c, _ = jax.lax.scan(body, c0, None, length=iters)
             return c
 
-        dt = _bench_chain(lambda c, _a=a, _b=b: many(_a, _b, c), iters)
+        dt = _bench_chain(lambda c, _a=a, _b=b: many(_a, _b, c), iters, calls)
         fl = 2 * sa[0] * sa[1] * sb[1]
         print(f"{name:<44s} {dt * 1e3:8.3f} ms  {fl / dt / 1e12:7.1f} TF/s", flush=True)
 
@@ -128,7 +130,9 @@ def bench_quantgemm():
         ("text qkv [19712,512]x[512,1536]", 19712, 512, 1536),
     ]
     rng = np.random.default_rng(0)
-    iters = 10
+    # sub-ms kernels: amortize the tunnel's ~15-20 ms tail-fetch RTT over
+    # many iterations or it reads as a +0.5 ms/iter inflation
+    iters, calls = 50, 10
     for name, m, k, n in shapes:
         x = jnp.asarray(rng.normal(size=(m, k)), jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
@@ -146,7 +150,7 @@ def bench_quantgemm():
                 c, _ = jax.lax.scan(body, c0, None, length=iters)
                 return c
 
-            return _bench_chain(lambda c: many(x, c), iters)
+            return _bench_chain(lambda c: many(x, c), iters, calls)
 
         dt = run(lambda x_: jnp.dot(x_, wb))
         print(f"{name} bf16      {dt*1e3:7.3f} ms  {fl/dt/1e12:6.1f} TF/s", flush=True)
