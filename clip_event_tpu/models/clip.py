@@ -154,6 +154,24 @@ def encode_text(
     return L.linear(pooled, params["text_projection"])
 
 
+def text_act_stats(
+    params: dict, cfg: CLIPConfig, tokens: jnp.ndarray, compute_dtype=jnp.float32
+) -> dict:
+    """Dense-input abs-max stats for the text tower (static int8 activation
+    calibration, `ops/quant.py`): mirrors `encode_text` and returns
+    {"text_transformer": {...[L]...}, "text_projection"}."""
+    x = params["token_embedding"][tokens].astype(compute_dtype)
+    x = x + params["positional_embedding"].astype(compute_dtype)
+    bias = L.causal_mask(cfg.context_length)
+    x, tstats = L.transformer_with_act_stats(
+        x, params["text_transformer"], cfg.transformer_heads, bias
+    )
+    x = L.layer_norm(x, params["ln_final"])
+    eot_idx = jnp.argmax(tokens, axis=-1)
+    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    return {"text_transformer": tstats, "text_projection": L._absmax(pooled)}
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
     return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
 

@@ -96,12 +96,18 @@ def _resolve_impl():
     return ("pallas", mesh)
 
 
+def _absmax(x: jnp.ndarray) -> jnp.ndarray:
+    """Scalar abs-max in f32 (static int8 activation calibration)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
 def multi_head_attention(
     x: jnp.ndarray,
     params: dict,
     num_heads: int,
     attn_bias: Optional[jnp.ndarray] = None,
     impl: Optional[str] = None,
+    act_stats: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Self-attention with packed QKV projection.
 
@@ -114,6 +120,8 @@ def multi_head_attention(
     if impl is None:
         impl = _resolve_impl()
     kind, mesh = (impl, None) if isinstance(impl, str) else impl
+    if act_stats is not None:
+        act_stats["qkv_w"] = _absmax(x)
 
     qkv = linear(x, params["qkv_w"], params["qkv_b"])  # [B, S, 3W]
 
@@ -154,6 +162,8 @@ def multi_head_attention(
                 DATA_AXIS, "tp",
             )
             out = checkpoint_name(out, "attn_core_out")
+            if act_stats is not None:
+                act_stats["out_w"] = _absmax(out)
             return linear(out, params["out_w"], params["out_b"])
 
     if kind == "pallas" and not fused_attention_supported(S, W, num_heads):
@@ -198,6 +208,8 @@ def multi_head_attention(
         ).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, W)
         out = checkpoint_name(out, "attn_core_out")
+    if act_stats is not None:
+        act_stats["out_w"] = _absmax(out)
     return linear(out, params["out_w"], params["out_b"])
 
 
@@ -207,14 +219,29 @@ def residual_block(
     num_heads: int,
     attn_bias: Optional[jnp.ndarray] = None,
     impl: str = "xla",
+    act_stats: Optional[dict] = None,
 ) -> jnp.ndarray:
-    """Pre-LN transformer block: MHA + QuickGELU MLP, both residual."""
+    """Pre-LN transformer block: MHA + QuickGELU MLP, both residual.
+
+    `act_stats`: when a dict is passed, the scalar abs-max of every dense
+    input is recorded into it, nested to mirror the param tree
+    ({"attn": {qkv_w, out_w}, "mlp": {fc_w, proj_w}}) — the calibration
+    hook for static int8 activation scales (`ops/quant.py`). None (the
+    default) leaves the hot path untouched."""
+    if act_stats is not None:
+        act_stats["attn"] = {}
+        act_stats["mlp"] = {}
     x = x + multi_head_attention(
-        layer_norm(x, params["ln_1"]), params["attn"], num_heads, attn_bias, impl
+        layer_norm(x, params["ln_1"]), params["attn"], num_heads, attn_bias,
+        impl, None if act_stats is None else act_stats["attn"],
     )
     h = layer_norm(x, params["ln_2"])
+    if act_stats is not None:
+        act_stats["mlp"]["fc_w"] = _absmax(h)
     h = linear(h, params["mlp"]["fc_w"], params["mlp"]["fc_b"])
     h = quick_gelu(h)
+    if act_stats is not None:
+        act_stats["mlp"]["proj_w"] = _absmax(h)
     h = linear(h, params["mlp"]["proj_w"], params["mlp"]["proj_b"])
     return x + h
 
@@ -286,6 +313,28 @@ def transformer(
 
     out, _ = jax.lax.scan(body, x, stacked_params, unroll=unroll)
     return out
+
+
+def transformer_with_act_stats(
+    x: jnp.ndarray,
+    stacked_params: dict,
+    num_heads: int,
+    attn_bias: Optional[jnp.ndarray] = None,
+):
+    """`transformer` forward that ALSO returns per-layer dense-input abs-max
+    stats via scan ys — a dict mirroring the stacked param tree
+    ({"attn": {qkv_w: [L], out_w: [L]}, "mlp": {fc_w: [L], proj_w: [L]}}),
+    the calibration pass for static int8 activation scales. Always the XLA
+    attention path, no remat. Forward output is identical to
+    `transformer(..., impl="xla")` (`tests/test_quant.py` asserts it)."""
+
+    def body(h, layer_params):
+        stats: dict = {}
+        h = residual_block(h, layer_params, num_heads, attn_bias, "xla", stats)
+        return h, stats
+
+    out, stats = jax.lax.scan(body, x, stacked_params)
+    return out, stats
 
 
 def causal_mask(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:

@@ -53,6 +53,39 @@ def vit_encode(
     return L.linear(x, params["proj"])
 
 
+def vit_act_stats(
+    params: dict,
+    images: jnp.ndarray,
+    patch_size: int,
+    num_heads: int,
+    compute_dtype=jnp.float32,
+) -> dict:
+    """Dense-input abs-max stats for the ViT tower (static int8 activation
+    calibration, `ops/quant.py`): mirrors `vit_encode` (CLS path) and
+    returns {"patch_embed_w", "transformer": {...[L]...}, "proj"}."""
+    x = images.astype(compute_dtype)
+    B, H, W, C = x.shape
+    gh, gw = H // patch_size, W // patch_size
+    patches = x.reshape(B, gh, patch_size, gw, patch_size, C)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, gh * gw, patch_size * patch_size * C
+    )
+    stats = {"patch_embed_w": L._absmax(patches)}
+    x = L.linear(patches, params["patch_embed_w"])
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(x.dtype), (B, 1, x.shape[-1])
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(x.dtype)
+    x = L.layer_norm(x, params["ln_pre"])
+    x, stats["transformer"] = L.transformer_with_act_stats(
+        x, params["transformer"], num_heads
+    )
+    x = L.layer_norm(x[:, 0, :], params["ln_post"])
+    stats["proj"] = L._absmax(x)
+    return stats
+
+
 def init_vit(
     rng: jax.Array,
     input_resolution: int,

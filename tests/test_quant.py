@@ -229,3 +229,107 @@ def test_eval_cli_accepts_quantize(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert "i2t_top1" in metrics
+
+
+def test_transformer_with_act_stats_matches_forward():
+    """The calibration forward must be the SAME forward: output identical to
+    transformer(impl='xla'), stats shaped [L] per dense site."""
+    from clip_event_tpu.models import layers as L
+
+    W, H, LAYERS, S = 64, 2, 3, 16
+    tt = L.init_transformer(jax.random.PRNGKey(0), LAYERS, W)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, S, W)), jnp.float32)
+    bias = L.causal_mask(S)
+    ref = L.transformer(x, tt, H, bias, impl="xla")
+    out, stats = L.transformer_with_act_stats(x, tt, H, bias)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    for site in ("attn", "mlp"):
+        for k, v in stats[site].items():
+            assert v.shape == (LAYERS,), (site, k, v.shape)
+            assert (np.asarray(v) > 0).all()
+
+
+def test_static_quantized_towers_generalize():
+    """Static activation scales calibrated on one batch keep the encoders
+    within the accuracy budget on a DIFFERENT batch (the serving contract:
+    calibrate offline once, run on unseen data)."""
+    from clip_event_tpu.ops.quant import calibrate_act_scales
+
+    cfg = CLIPConfig(128, 32, 2, 128, 16, 77, 49408, 128, 2, 2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    cal_imgs = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    cal_toks = _tokens(rng, 8)
+    stats = calibrate_act_scales(params, cfg, [cal_imgs], [cal_toks])
+    sparams = quantize_params(params, act_stats=stats)
+    # stacked transformer weights carry per-layer [L] static scales
+    assert sparams["visual"]["transformer"]["attn"]["qkv_w"].act_scale.shape == (2,)
+    assert sparams["text_projection"].act_scale.shape == ()
+
+    eval_imgs = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+    eval_toks = _tokens(rng, 4)
+    ref_i = np.asarray(encode_image(params, cfg, eval_imgs))
+    ref_t = np.asarray(encode_text(params, cfg, eval_toks))
+    q_i = np.asarray(jax.jit(lambda p, x: encode_image(p, cfg, x))(sparams, eval_imgs))
+    q_t = np.asarray(jax.jit(lambda p, t: encode_text(p, cfg, t))(sparams, eval_toks))
+    assert _cos(ref_i, q_i).min() > 0.995
+    assert _cos(ref_t, q_t).min() > 0.995
+
+
+def test_eval_cli_accepts_quantize_static(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixtures import make_voa_fixture
+
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+        "quantize": "int8_static",
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "batch_size": 4,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    proc = subprocess.run(
+        [sys.executable, "eval_matching.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "calibrating static int8" in proc.stderr
+    metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert "i2t_top1" in metrics
+
+
+def test_quantize_towers_subset():
+    """towers=("visual",) quantizes only the vision tower (the measured
+    serving sweet spot: static-int8 vision + bf16 text) and the text path
+    stays bit-identical to float."""
+    from clip_event_tpu.ops.quant import calibrate_act_scales
+
+    cfg = CLIPConfig(128, 32, 2, 128, 16, 77, 49408, 128, 2, 2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    stats = calibrate_act_scales(
+        params, cfg,
+        [rng.normal(size=(4, 32, 32, 3)).astype(np.float32)],
+        [_tokens(rng, 4)],
+    )
+    mixed = quantize_params(params, act_stats=stats, towers=("visual",))
+    assert isinstance(mixed["visual"]["transformer"]["attn"]["qkv_w"], QuantWeight)
+    assert mixed["visual"]["transformer"]["attn"]["qkv_w"].act_scale is not None
+    assert not isinstance(mixed["text_transformer"]["attn"]["qkv_w"], QuantWeight)
+    assert not isinstance(mixed["text_projection"], QuantWeight)
+
+    toks = _tokens(rng, 4)
+    ref_t = encode_text(params, cfg, toks)
+    out_t = encode_text(mixed, cfg, toks)
+    np.testing.assert_array_equal(np.asarray(ref_t), np.asarray(out_t))
+
+    with pytest.raises(ValueError):
+        quantize_params(params, towers=("vision",))

@@ -616,10 +616,19 @@ def bench_quant():
     from clip_event_tpu.ops import quant
     from clip_event_tpu.ops.quant import quantize_params
 
+    from clip_event_tpu.ops.quant import calibrate_act_scales
+
     cfg = VIT_B32
     params = init_params(jax.random.PRNGKey(0), cfg)
     qparams = quantize_params(params)
     rng = np.random.default_rng(0)
+    cal_imgs = rng.normal(size=(16, 224, 224, 3)).astype(np.float32)
+    cal_toks = np.zeros((16, 77), np.int32)
+    cal_toks[:, 0] = 49406
+    cal_toks[:, 1:10] = rng.integers(1, 49000, (16, 9))
+    cal_toks[:, 10] = 49407
+    stats = calibrate_act_scales(params, cfg, [cal_imgs], [cal_toks])
+    sparams = quantize_params(params, act_stats=stats)
     K = 10
 
     layers.set_attention_impl("pallas")
@@ -638,6 +647,7 @@ def bench_quant():
             for label, p, gemm in (
                 ("bf16", params, "xla"),
                 ("int8-xla", qparams, "xla"),
+                ("int8-static", sparams, "xla"),
                 ("int8-pallas", qparams, "pallas"),
             ):
                 # quantized_linear reads the GEMM impl at trace time, and the
@@ -675,6 +685,7 @@ def bench_quant():
             print(
                 f"{tag} encode B={bs:<5d} speedups vs bf16: "
                 f"xla {row['bf16'] / row['int8-xla']:.2f}x  "
+                f"static {row['bf16'] / row['int8-static']:.2f}x  "
                 f"pallas {row['bf16'] / row['int8-pallas']:.2f}x",
                 flush=True,
             )
