@@ -294,3 +294,53 @@ def test_synthetic_convergence_cli(tmp_path):
     assert metrics["num_images"] == 24
     # chance = 0.25 over the 4 color classes; "well above chance"
     assert metrics["accuracy"] >= 0.75, metrics
+
+
+@pytest.mark.slow
+def test_full_size_static_int8_accuracy():
+    """Static-int8 accuracy at true ViT-B/32 scale (W=768/512, 12 layers,
+    224², real tokenizer): calibrate on synthetic batches (the CLI recipe),
+    evaluate on real-JPEG-decoded photos + real prompts NOT in the
+    calibration set — the serving contract for `"quantize": "int8_static"`.
+    The toy 128-wide test cannot rule out scale-dependent drift (deeper
+    stacks accumulate per-layer quantization error)."""
+    from PIL import Image
+
+    from clip_event_tpu import zoo
+    from clip_event_tpu.data.transform import preprocess_image
+    from clip_event_tpu.models import VIT_B32, encode_image, encode_text, init_params
+    from clip_event_tpu.ops.quant import calibrate_act_scales, quantize_params
+    from tests.test_real_weights import _real_jpeg
+
+    cfg = VIT_B32
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(0)
+    cal_imgs = rng.normal(size=(4, 224, 224, 3)).astype(np.float32)
+    cal_toks = np.asarray(zoo.tokenize([
+        "a photo of a person", "a crowd at a rally",
+        "a building on fire", "officials at a meeting",
+    ]))
+    stats = calibrate_act_scales(params, cfg, [cal_imgs], [cal_toks])
+    sparams = quantize_params(params, act_stats=stats)
+
+    images = np.stack([
+        preprocess_image(np.asarray(Image.open(_real_jpeg(seed=s)).convert("RGB")))
+        for s in range(3)
+    ])
+    tokens = np.asarray(zoo.tokenize([
+        "a photo of a protest in the city",
+        "soldiers marching near a damaged building",
+        "a man giving a speech at a podium",
+    ]))
+
+    def cos(a, b):
+        a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+        return (a * b).sum(-1)
+
+    ref_i = np.asarray(encode_image(params, cfg, images))
+    ref_t = np.asarray(encode_text(params, cfg, tokens))
+    q_i = np.asarray(jax.jit(lambda p, x: encode_image(p, cfg, x))(sparams, images))
+    q_t = np.asarray(jax.jit(lambda p, t: encode_text(p, cfg, t))(sparams, tokens))
+    assert cos(ref_i, q_i).min() > 0.99, cos(ref_i, q_i)
+    assert cos(ref_t, q_t).min() > 0.99, cos(ref_t, q_t)
