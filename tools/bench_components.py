@@ -558,45 +558,56 @@ def bench_latency():
 
     from clip_event_tpu.models import layers
 
+    from clip_event_tpu.ops.quant import calibrate_act_scales, quantize_params
+
     cfg = VIT_B32
     params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    stats = calibrate_act_scales(
+        params, cfg,
+        [rng.normal(size=(8, 224, 224, 3)).astype(np.float32)],
+        [],
+    )
+    sparams = quantize_params(params, act_stats=stats, towers=("visual",))
     layers.set_attention_impl("pallas")  # flagship path
     try:
-        image_fn, _ = make_eval_encoders(cfg, compute_dtype=jnp.bfloat16)
-        rng = np.random.default_rng(0)
+        for label, p in (("bf16", params), ("int8-static", sparams)):
+            # fresh jitted encoder per variant (trace caches don't key on
+            # anything distinguishing the pytrees' quantization mode beyond
+            # their structure — which here differs, but stay uniform)
+            image_fn, _ = make_eval_encoders(cfg, compute_dtype=jnp.bfloat16)
+            for bs in (1, 8, 64):
+                x = jnp.asarray(rng.normal(size=(bs, 224, 224, 3)), jnp.float32)
 
-        for bs in (1, 8, 64):
-            x = jnp.asarray(rng.normal(size=(bs, 224, 224, 3)), jnp.float32)
+                # end-to-end: one dispatch per call, hard host fetch each call
+                f = jax.jit(lambda p_, xx: image_fn(p_, xx))
+                float(np.asarray(f(p, x)).sum())  # compile + warm
+                times = []
+                for _ in range(20):
+                    t0 = time.perf_counter()
+                    float(np.asarray(f(p, x)).sum())
+                    times.append(time.perf_counter() - t0)
+                p50 = sorted(times)[len(times) // 2]
 
-            # end-to-end: one dispatch per call, hard host fetch each call
-            f = jax.jit(lambda p, xx: image_fn(p, xx))
-            float(np.asarray(f(params, x)).sum())  # compile + warm
-            times = []
-            for _ in range(20):
-                t0 = time.perf_counter()
-                float(np.asarray(f(params, x)).sum())
-                times.append(time.perf_counter() - t0)
-            p50 = sorted(times)[len(times) // 2]
+                # chip-only: K chained iterations in one dispatch
+                K = 20
 
-            # chip-only: K chained iterations in one dispatch
-            K = 20
+                @jax.jit
+                def many(p_, xx, c0):
+                    def body(c, _):
+                        out = image_fn(p_, xx * (1 + c * 1e-12))
+                        return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
 
-            @jax.jit
-            def many(p, xx, c0):
-                def body(c, _):
-                    out = image_fn(p, xx * (1 + c * 1e-12))
-                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
+                    c, _ = jax.lax.scan(body, c0, None, length=K)
+                    return c
 
-                c, _ = jax.lax.scan(body, c0, None, length=K)
-                return c
-
-            dt = _bench_chain(lambda c: many(params, x, c), K)
-            print(
-                f"image encode B={bs:<3d} e2e p50 {p50 * 1e3:8.2f} ms/call"
-                f"   chip-only {dt * 1e3:8.2f} ms/call"
-                f"   ({bs / dt:8.1f} img/s)",
-                flush=True,
-            )
+                dt = _bench_chain(lambda c, _p=p: many(_p, x, c), K)
+                print(
+                    f"image encode [{label}] B={bs:<3d} e2e p50 {p50 * 1e3:8.2f} ms/call"
+                    f"   chip-only {dt * 1e3:8.2f} ms/call"
+                    f"   ({bs / dt:8.1f} img/s)",
+                    flush=True,
+                )
     finally:
         layers.set_attention_impl("xla")
 
@@ -616,13 +627,18 @@ def bench_quant():
     from clip_event_tpu.ops import quant
     from clip_event_tpu.ops.quant import quantize_params
 
+    from clip_event_tpu.models import VIT_B16, VIT_L14
     from clip_event_tpu.ops.quant import calibrate_act_scales
 
-    cfg = VIT_B32
+    # BENCH_QUANT_MODEL env: ViT-B/32 (default) | ViT-B/16 | ViT-L/14
+    cfg = {
+        "ViT-B/32": VIT_B32, "ViT-B/16": VIT_B16, "ViT-L/14": VIT_L14,
+    }[os.environ.get("BENCH_QUANT_MODEL", "ViT-B/32")]
+    res = cfg.image_resolution
     params = init_params(jax.random.PRNGKey(0), cfg)
     qparams = quantize_params(params)
     rng = np.random.default_rng(0)
-    cal_imgs = rng.normal(size=(16, 224, 224, 3)).astype(np.float32)
+    cal_imgs = rng.normal(size=(16, res, res, 3)).astype(np.float32)
     cal_toks = np.zeros((16, 77), np.int32)
     cal_toks[:, 0] = 49406
     cal_toks[:, 1:10] = rng.integers(1, 49000, (16, 9))
@@ -635,7 +651,7 @@ def bench_quant():
     try:
         for tag, bs in (("image", 64), ("image", 256), ("text", 256), ("text", 1024)):
             if tag == "image":
-                x = jnp.asarray(rng.normal(size=(bs, 224, 224, 3)), jnp.float32)
+                x = jnp.asarray(rng.normal(size=(bs, res, res, 3)), jnp.float32)
             else:
                 toks = np.zeros((bs, 77), np.int32)
                 toks[:, 0] = 49406
