@@ -218,7 +218,17 @@ def calibrate_act_scales(
     ViT + text towers only (the RN tower's conv stack doesn't quantize; its
     dense weights keep dynamic scales). The reference has no quantization
     story; static W8A8 is the TPU-serving addition that removes the dynamic
-    row-reduction the measured dynamic path loses to (PERFORMANCE.md)."""
+    row-reduction the measured dynamic path loses to (PERFORMANCE.md).
+
+    Caveat (honest limits): accuracy is validated at full ViT-B/32 scale
+    with RANDOM weights (cosine > 0.99 on batches disjoint from
+    calibration, `tests/test_full_scale.py`). Real pretrained CLIP
+    checkpoints are known to carry activation OUTLIERS that per-tensor
+    static scales handle worse than random init does (the motivation for
+    percentile clipping / SmoothQuant-style smoothing in the literature);
+    re-validate cosine on real weights before serving them static — the
+    dynamic path (`act_stats=None`) is the safe fallback, and
+    real-weight validation is gated on network egress in this sandbox."""
     from clip_event_tpu.models.clip import text_act_stats
     from clip_event_tpu.models.vit import vit_act_stats
 

@@ -114,3 +114,52 @@ def test_real_weight_zero_shot_sanity():
     txt = np.asarray(l2_normalize(encode_text(params, cfg, tokens)))
     logits = img @ txt.T
     assert logits[0, 0] > logits[0, 1] and logits[1, 1] > logits[1, 0]
+
+
+@needs_weights
+def test_real_weight_static_int8_cosine():
+    """Self-arming validation of the static-int8 caveat (`ops/quant.py`):
+    real pretrained CLIP activations carry outliers that per-tensor static
+    scales handle worse than random init, so when real weights are
+    available, calibrate on real photos and assert the quantized encoders
+    stay within the cosine budget on held-out inputs. If this fails on real
+    weights, ship the dynamic path (`quantize: int8`) instead."""
+    from PIL import Image
+
+    from clip_event_tpu import zoo
+    from clip_event_tpu.models import encode_image, encode_text
+    from clip_event_tpu.ops.quant import calibrate_act_scales, quantize_params
+
+    params, cfg, preprocess = zoo.load(WEIGHTS)
+    cal_imgs = np.stack([
+        preprocess(np.asarray(Image.open(_real_jpeg(seed=s)).convert("RGB")))
+        for s in (10, 11, 12, 13)
+    ])
+    cal_toks = np.asarray(zoo.tokenize([
+        "a photo of a person", "a crowd at a rally",
+        "a building on fire", "officials at a meeting",
+    ]))
+    stats = calibrate_act_scales(params, cfg, [cal_imgs], [cal_toks])
+    sparams = quantize_params(params, act_stats=stats)
+
+    images = np.stack([
+        preprocess(np.asarray(Image.open(_real_jpeg(seed=s)).convert("RGB")))
+        for s in range(3)
+    ])
+    tokens = np.asarray(zoo.tokenize([
+        "a photo of a protest in the city",
+        "soldiers marching near a damaged building",
+        "a man giving a speech at a podium",
+    ]))
+
+    def cos(a, b):
+        a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+        return (a * b).sum(-1)
+
+    ref_i = np.asarray(encode_image(params, cfg, images))
+    ref_t = np.asarray(encode_text(params, cfg, tokens))
+    q_i = np.asarray(jax.jit(lambda p, x: encode_image(p, cfg, x))(sparams, images))
+    q_t = np.asarray(jax.jit(lambda p, t: encode_text(p, cfg, t))(sparams, tokens))
+    assert cos(ref_i, q_i).min() > 0.99, cos(ref_i, q_i)
+    assert cos(ref_t, q_t).min() > 0.99, cos(ref_t, q_t)
