@@ -19,7 +19,10 @@ def load_model_from_cfg(cfg: dict):
     `model` preset with random init (for smoke runs).
 
     `"quantize": "int8"` switches the dense weights to the W8A8 inference
-    path (`ops/quant.py` — s8×s8→s32 MXU matmuls, 2× the bf16 rate)."""
+    path (`ops/quant.py`); `"int8_static"` adds calibrated static
+    activation scales (vision encode +12–50% depending on model width,
+    PERFORMANCE.md), with optional `"quantize_towers": ["visual"]` and
+    `"calibration_batches": N`."""
     from clip_event_tpu.config import model_config
     from clip_event_tpu.engine.checkpoint import (
         import_initial_checkpoint,

@@ -90,7 +90,7 @@ def quantize_weight(
 
 
 # GEMM backend for quantized_linear. "auto" == "xla": the fused VMEM-resident
-# kernel (ops.quant_pallas) MEASURED ~40% SLOWER than XLA's own
+# kernel (ops.quant_pallas) MEASURED 1.7–2.1× SLOWER than XLA's own
 # quantize→int8-dot→rescale schedule at every CLIP shape and block size
 # (PERFORMANCE.md "Int8 W8A8"), so it is opt-in ("pallas") for measurement
 # only. NOTE: the jit/checkpoint trace caches do NOT key on this global —
