@@ -139,9 +139,12 @@ def run(description: str, evaluate) -> None:
             raise SystemExit(
                 f"tp={tp} does not divide device count {jax.device_count()}"
             )
+        from clip_event_tpu.evals.common import set_eval_mesh
         from clip_event_tpu.parallel.sharding import make_mesh_2d
 
         mesh = make_mesh_2d(tp=tp)
+        # Encoders shard their batches over this mesh's dp axis too
+        set_eval_mesh(mesh)
     if cfg.get("use_pallas_attention", True):
         # same flagship attention path as training (PERFORMANCE.md); on a
         # tp mesh the kernel runs head-group-parallel via shard_map. On

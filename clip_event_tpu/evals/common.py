@@ -78,18 +78,76 @@ def merge_across_ranks(n: int, world_size: int, *parts):
     return tuple(outs) if len(outs) > 1 else outs[0]
 
 
-class Encoders:
-    """Padded-batch wrappers around the jitted encoders."""
+# Device mesh for single-process multi-chip evals. `set_eval_mesh` (called
+# by the eval CLI's tp path) overrides; otherwise Encoders auto-builds a dp
+# mesh over this process's LOCAL devices so eval/embed batches shard across
+# all chips instead of running on chip 0 only. Local devices (not global):
+# under multi-process runs the DATA is already sharded per rank, so each
+# rank's encodes stay local — no cross-process collectives.
+_EVAL_MESH = None
+_AUTO = object()
 
-    def __init__(self, params, cfg: CLIPConfig, batch_size: int = 64, compute_dtype=None):
+
+def set_eval_mesh(mesh) -> None:
+    global _EVAL_MESH
+    _EVAL_MESH = mesh
+
+
+def _resolve_eval_mesh(batch_size: int):
+    import jax
+
+    if _EVAL_MESH is not None:
+        return _EVAL_MESH
+    local = jax.local_devices()
+    if len(local) > 1 and batch_size % len(local) == 0:
+        from jax.sharding import Mesh
+
+        from clip_event_tpu.parallel.mesh import DATA_AXIS
+
+        return Mesh(np.asarray(local), (DATA_AXIS,))
+    # single device: stay OFF the SPMD-partitioner pipeline (measured
+    # 1.4-2.4x overhead, PERFORMANCE.md "GSPMD single-device overhead");
+    # non-dividing batch sizes just replicate-free on the default device
+    return None
+
+
+class Encoders:
+    """Padded-batch wrappers around the jitted encoders.
+
+    On a multi-chip host (single process) batches are sharded over a dp
+    mesh across the local devices — `mesh` defaults to the CLI-set mesh
+    (`set_eval_mesh`, e.g. the tp mesh) or an auto-built local dp mesh;
+    pass `mesh=None` to force single-device."""
+
+    def __init__(self, params, cfg: CLIPConfig, batch_size: int = 64,
+                 compute_dtype=None, mesh=_AUTO):
+        import jax
         import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from clip_event_tpu.parallel.mesh import DATA_AXIS
 
         dtype = compute_dtype or jnp.float32
         self._image_fn, self._text_fn = make_eval_encoders(cfg, compute_dtype=dtype)
+        self._mesh = _resolve_eval_mesh(batch_size) if mesh is _AUTO else mesh
+        self._batch_sharding = None
+        if self._mesh is not None and self._mesh.devices.size > 1:
+            if batch_size % dict(zip(
+                self._mesh.axis_names, self._mesh.devices.shape
+            )).get(DATA_AXIS, 1) == 0:
+                self._batch_sharding = NamedSharding(self._mesh, P(DATA_AXIS))
+            # params already committed to this mesh (tp path) stay put;
+            # otherwise replicate them onto it
+            leaf = jax.tree.leaves(params)[0]
+            s = getattr(leaf, "sharding", None)
+            if not (isinstance(s, NamedSharding) and s.mesh == self._mesh):
+                params = jax.device_put(params, NamedSharding(self._mesh, P()))
         self.params = params
         self.batch_size = batch_size
 
     def _batched(self, fn, items: np.ndarray) -> np.ndarray:
+        import jax
+
         n = items.shape[0]
         out: List[np.ndarray] = []
         B = self.batch_size
@@ -98,6 +156,8 @@ class Encoders:
             pad = B - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            if self._batch_sharding is not None:
+                chunk = jax.device_put(chunk, self._batch_sharding)
             feats = np.asarray(fn(self.params, chunk))
             out.append(feats[: B - pad])
         return np.concatenate(out) if out else np.zeros((0,))

@@ -414,3 +414,30 @@ def test_eval_cli_tp(tmp_path):
     for k, v in m_ref.items():
         if isinstance(v, float):
             assert abs(v - m_tp[k]) < 1e-4, (k, v, m_tp[k])
+
+
+def test_encoders_auto_dp_mesh_matches_single_device(params):
+    """On a multi-chip host (the virtual 8-device mesh here) `Encoders`
+    auto-shards its padded batches over a local dp mesh — features must be
+    IDENTICAL to the forced single-device path, partial last batch
+    included, and the mesh must actually engage when batch_size divides
+    the device count (and not when it doesn't)."""
+    from clip_event_tpu.evals.common import Encoders
+
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(11, 32, 32, 3)).astype(np.float32)  # 11: pad path
+    toks = np.zeros((5, 77), np.int32)
+    toks[:, 0] = 49406
+    toks[:, 1:4] = rng.integers(1, 49000, (5, 3))
+    toks[:, 4] = 49407
+
+    enc_dp = Encoders(params, TINY_EVAL, batch_size=8)
+    assert enc_dp._batch_sharding is not None  # 8 % 8 == 0 → mesh engaged
+    enc_1 = Encoders(params, TINY_EVAL, batch_size=8, mesh=None)
+    assert enc_1._batch_sharding is None
+
+    np.testing.assert_array_equal(enc_dp.images(imgs), enc_1.images(imgs))
+    np.testing.assert_array_equal(enc_dp.texts(toks), enc_1.texts(toks))
+
+    # non-dividing batch size: silently stays single-device
+    assert Encoders(params, TINY_EVAL, batch_size=6)._batch_sharding is None
