@@ -97,6 +97,10 @@ _DEFAULTS: Dict[str, Any] = {
     "multiattention_pooling": "mean",
     "steps_per_epoch_schedule": True,
     "steps_per_dispatch": 1,
+    # gradient accumulation: K loader microbatches → ONE optimizer step
+    # (grads K-averaged under lax.scan; peak memory = one microbatch's step).
+    # Mutually exclusive with steps_per_dispatch>1.
+    "grad_accum_steps": 1,
     # step-granular checkpointing: save a rolling mid-epoch checkpoint every
     # N optimizer steps (0 = epoch-granular only, the reference's behavior);
     # resume re-enters the interrupted epoch at the saved batch offset
@@ -134,6 +138,14 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         raise ConfigError("tp must be a positive int (1 = data-parallel only)")
     if out["begin_epoch"] > out["max_epoch"]:
         raise ConfigError("begin_epoch must be ≤ max_epoch")
+    if not isinstance(out["grad_accum_steps"], int) or out["grad_accum_steps"] < 1:
+        raise ConfigError("grad_accum_steps must be a positive int")
+    if out["grad_accum_steps"] > 1 and int(out.get("steps_per_dispatch", 1)) > 1:
+        raise ConfigError(
+            "grad_accum_steps>1 and steps_per_dispatch>1 are mutually "
+            "exclusive (one accumulates microbatches into one optimizer "
+            "step, the other fuses K optimizer steps into one dispatch)"
+        )
 
     loss = out["constrastive_loss"]
     if loss == "bce" and out["constrastive_overbatch"]:

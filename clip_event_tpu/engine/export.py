@@ -1,0 +1,182 @@
+"""AOT serving export: trained encoders as portable StableHLO artifacts.
+
+TPU-native replacement for the role the reference's TorchScript JIT archive
+plays at inference time (`clip.py:77-165` loads a torchscript model so
+serving needs no model-building code): `jax.export` serializes the jitted,
+batch-polymorphic `encode_image`/`encode_text` functions to versioned
+StableHLO. A server deserializes and calls them on any JAX backend — or a
+non-Python runtime consumes the module via PJRT — without importing the
+model code.
+
+Bundle layout (`save_serving_bundle`):
+
+    <dir>/image_encode.stablehlo   serialized Exported, args (params, images)
+    <dir>/text_encode.stablehlo    serialized Exported, args (params, tokens)
+    <dir>/params.npz               weights in the flat OpenAI state_dict
+                                   naming (models/convert.py) — swappable
+                                   without re-exporting the module
+    <dir>/meta.json                CLIPConfig + dtype + export metadata
+
+Weights stay OUT of the StableHLO module (passed as call arguments): baking
+a ViT's ~600 MB of constants into the module would bloat the artifact and
+freeze the weights; the flat npz keeps them independently updatable and
+reference-interoperable.
+
+The export always uses the portable XLA attention path (the Pallas kernel
+lowers to a TPU-only custom call that the export safety checks reject);
+batch is a symbolic dimension so one artifact serves every batch size.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import asdict
+from typing import Any, Callable, Tuple
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+IMAGE_MODULE = "image_encode.stablehlo"
+TEXT_MODULE = "text_encode.stablehlo"
+PARAMS_FILE = "params.npz"
+META_FILE = "meta.json"
+
+
+def _encoder_fns(cfg, compute_dtype) -> Tuple[Callable, Callable]:
+    """The serving functions: L2-normalized features, params as ARGUMENTS."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models import clip as clip_model
+
+    def image_encode(params, images):
+        return clip_model.l2_normalize(
+            clip_model.encode_image(params, cfg, images, compute_dtype=compute_dtype)
+        ).astype(jnp.float32)
+
+    def text_encode(params, tokens):
+        return clip_model.l2_normalize(
+            clip_model.encode_text(params, cfg, tokens, compute_dtype=compute_dtype)
+        ).astype(jnp.float32)
+
+    return jax.jit(image_encode), jax.jit(text_encode)
+
+
+def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu")):
+    """Returns (image Exported, text Exported) with a symbolic batch dim.
+
+    `platforms` defaults to cpu+tpu so the one artifact runs under a CPU
+    smoke harness and on the serving TPU alike.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jex
+
+    from clip_event_tpu.models import layers as L
+
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+    image_fn, text_fn = _encoder_fns(cfg, compute_dtype)
+
+    (b,) = jex.symbolic_shape("b")
+    res = cfg.image_resolution
+    param_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params
+    )
+    image_spec = jax.ShapeDtypeStruct((b, res, res, 3), jnp.float32)
+    token_spec = jax.ShapeDtypeStruct((b, cfg.context_length), jnp.int32)
+
+    # the Pallas kernel is a TPU-only custom call — force the portable XLA
+    # attention path for the exported module, then restore the session's impl
+    prev_impl, prev_mesh = L._ATTENTION_IMPL, L._ATTENTION_MESH
+    L.set_attention_impl("xla")
+    try:
+        image_exp = jex.export(image_fn, platforms=list(platforms))(
+            param_specs, image_spec
+        )
+        text_exp = jex.export(text_fn, platforms=list(platforms))(
+            param_specs, token_spec
+        )
+    finally:
+        L.set_attention_impl(prev_impl, prev_mesh)
+    return image_exp, text_exp
+
+
+def save_serving_bundle(
+    out_dir: str, params, cfg, compute_dtype=None, platforms=("cpu", "tpu")
+) -> str:
+    """Export both encoders + weights + metadata into `out_dir`."""
+    import jax
+
+    from clip_event_tpu.models.convert import state_dict_from_params
+
+    os.makedirs(out_dir, exist_ok=True)
+    image_exp, text_exp = export_encoders(
+        params, cfg, compute_dtype=compute_dtype, platforms=platforms
+    )
+    with open(os.path.join(out_dir, IMAGE_MODULE), "wb") as fh:
+        fh.write(image_exp.serialize())
+    with open(os.path.join(out_dir, TEXT_MODULE), "wb") as fh:
+        fh.write(text_exp.serialize())
+
+    sd = state_dict_from_params(jax.tree.map(np.asarray, params), cfg)
+    np.savez(os.path.join(out_dir, PARAMS_FILE), **sd)
+
+    meta = {
+        "model_config": asdict(cfg),
+        "compute_dtype": str(np.dtype(compute_dtype).name) if compute_dtype else "float32",
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "embed_dim": cfg.embed_dim,
+        "image_resolution": cfg.image_resolution,
+        "context_length": cfg.context_length,
+    }
+    with open(os.path.join(out_dir, META_FILE), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    log.info("=> serving bundle written to %s", out_dir)
+    return out_dir
+
+
+class ServingModel:
+    """A deserialized bundle: `encode_image` / `encode_text` at any batch."""
+
+    def __init__(self, image_exp, text_exp, params, meta: dict):
+        self._image = image_exp
+        self._text = text_exp
+        self.params = params
+        self.meta = meta
+
+    def encode_image(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self._image.call(self.params, np.asarray(images, np.float32)))
+
+    def encode_text(self, tokens: np.ndarray) -> np.ndarray:
+        return np.asarray(self._text.call(self.params, np.asarray(tokens, np.int32)))
+
+
+def load_serving_bundle(bundle_dir: str) -> ServingModel:
+    """Deserialize a bundle; needs only jax + the weight converter (no model
+    code is traced — the StableHLO module IS the model)."""
+    from jax import export as jex
+
+    from clip_event_tpu.models.clip import CLIPConfig
+    from clip_event_tpu.models.convert import params_from_state_dict
+
+    with open(os.path.join(bundle_dir, IMAGE_MODULE), "rb") as fh:
+        image_exp = jex.deserialize(fh.read())
+    with open(os.path.join(bundle_dir, TEXT_MODULE), "rb") as fh:
+        text_exp = jex.deserialize(fh.read())
+    meta = json.load(open(os.path.join(bundle_dir, META_FILE)))
+    mcfg = meta.get("model_config")
+    cfg = CLIPConfig(**{**mcfg, "vision_layers": _vision_layers(mcfg)}) if mcfg else None
+    with np.load(os.path.join(bundle_dir, PARAMS_FILE)) as npz:
+        sd = {k: npz[k] for k in npz.files}
+    params, _ = params_from_state_dict(sd, cfg)
+    return ServingModel(image_exp, text_exp, params, meta)
+
+
+def _vision_layers(mcfg: dict):
+    vl = mcfg["vision_layers"]
+    return tuple(vl) if isinstance(vl, list) else vl

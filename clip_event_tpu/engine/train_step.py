@@ -101,6 +101,29 @@ def loss_fn(
     return total, loss_dict
 
 
+def _apply_update(
+    state: TrainState,
+    grads,
+    total: jnp.ndarray,
+    loss_dict: Dict[str, jnp.ndarray],
+    optimizer: optax.GradientTransformation,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer update + the non-finite freeze, shared by every step
+    variant (single, K-fused, gradient-accumulated)."""
+    updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    finite = jnp.isfinite(total)
+    # freeze the update if the loss went non-finite so the host can abort
+    # from an intact state (reference exits the process, engine.py:79-82)
+    new_params, new_opt_state = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old),
+        (new_params, new_opt_state),
+        (state.params, state.opt_state),
+    )
+    metrics = {"loss": total, "finite": finite, **loss_dict}
+    return TrainState(new_params, new_opt_state, state.step + 1), metrics
+
+
 def _build_step_fn(
     cfg: CLIPConfig,
     optimizer: optax.GradientTransformation,
@@ -124,18 +147,7 @@ def _build_step_fn(
             use_pallas_ot, compute_dtype, remat, multiattention,
             multiattention_pooling, alignment_chunks,
         )
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        finite = jnp.isfinite(total)
-        # freeze the update if the loss went non-finite so the host can abort
-        # from an intact state (reference exits the process, engine.py:79-82)
-        new_params, new_opt_state = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old),
-            (new_params, new_opt_state),
-            (state.params, state.opt_state),
-        )
-        metrics = {"loss": total, "finite": finite, **loss_dict}
-        return TrainState(new_params, new_opt_state, state.step + 1), metrics
+        return _apply_update(state, grads, total, loss_dict, optimizer)
 
     return step_fn
 
@@ -190,6 +202,69 @@ def make_multi_step(
         jax.jit(many, donate_argnums=(0,) if donate else ()),
         jax.jit(many_fixed_batch, donate_argnums=(0,) if donate else ()),
     )
+
+
+def make_accum_step(
+    cfg: CLIPConfig,
+    optimizer: optax.GradientTransformation,
+    accum_steps: int,
+    loss_type: str = "ce",
+    overbatch: bool = True,
+    alignment: bool = False,
+    use_pallas_ot: bool = False,
+    compute_dtype=jnp.float32,
+    remat: bool = True,
+    multiattention: Optional[str] = None,
+    multiattention_pooling: str = "mean",
+    alignment_chunks: int = 1,
+    donate: bool = True,
+):
+    """ONE optimizer step from K microbatches (gradient accumulation).
+
+    TPU-native addition (the reference has no accumulation path). `batches`
+    leaves carry a leading [K, B_micro, ...] axis; each microbatch's
+    forward+backward runs inside a `lax.scan` body, so its activations are
+    freed before the next begins — peak memory is one microbatch's step plus
+    a single gradient pytree. Gradients and loss metrics are K-averaged, then
+    ONE `optimizer.update` applies (so clip-by-global-norm and the LR
+    schedule see the averaged gradient, exactly as a big-batch step would).
+
+    Semantics note: InfoNCE negatives stay *within* each microbatch — this
+    matches big-batch training's optimizer-step granularity and gradient
+    noise at small-batch memory, but the contrastive loss itself is not the
+    K·B-batch loss (the logit matrix is batch-coupled).
+    """
+
+    def grad_fn(params, micro):
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            params, micro, cfg, loss_type, overbatch, alignment,
+            use_pallas_ot, compute_dtype, remat, multiattention,
+            multiattention_pooling, alignment_chunks,
+        )
+
+    def accum_step(state: TrainState, batches):
+        # first microbatch outside the scan seeds the carry structure
+        # (gradient pytree + the full metrics dict, whichever branches are on)
+        first = jax.tree.map(lambda x: x[0], batches)
+        (total0, loss_dict0), grads0 = grad_fn(state.params, first)
+        msum0 = {"loss": total0, **loss_dict0}
+
+        def body(carry, micro):
+            gsum, msum = carry
+            (total, loss_dict), grads = grad_fn(state.params, micro)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            msum = jax.tree.map(jnp.add, msum, {"loss": total, **loss_dict})
+            return (gsum, msum), None
+
+        rest = jax.tree.map(lambda x: x[1:], batches)
+        (gsum, msum), _ = jax.lax.scan(body, (grads0, msum0), rest)
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: (g * inv).astype(g.dtype), gsum)
+        metrics_avg = {k: v * inv for k, v in msum.items()}
+        total = metrics_avg.pop("loss")
+        return _apply_update(state, grads, total, metrics_avg, optimizer)
+
+    return jax.jit(accum_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_encoders(cfg: CLIPConfig, compute_dtype=jnp.float32):

@@ -37,6 +37,12 @@ def test_config_cross_field_constraints():
         validate_config({**base, "constrastive_loss": "ce", "alignment": True})
     with pytest.raises(ConfigError):
         validate_config({**base, "constrastive_loss": "nope"})
+    ce = {**base, "constrastive_loss": "ce"}
+    with pytest.raises(ConfigError):
+        validate_config({**ce, "grad_accum_steps": 0})
+    with pytest.raises(ConfigError):  # accum and fused dispatch are exclusive
+        validate_config({**ce, "grad_accum_steps": 2, "steps_per_dispatch": 3})
+    assert validate_config({**ce, "grad_accum_steps": 2})["grad_accum_steps"] == 2
 
 
 def test_model_config_presets_and_dict():
@@ -338,6 +344,57 @@ def test_train_cli_multi_step_dispatch(tmp_path):
         name.startswith("fused_0")
         for name in os.listdir(tmp_path / "ckpt" / "fused")
     )
+
+
+@pytest.mark.slow
+def test_train_cli_grad_accum(tmp_path):
+    """grad_accum_steps>1: K microbatches per optimizer step through the
+    real CLI; the checkpointed step count must reflect OPTIMIZER steps."""
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "accum",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "grad_accum_steps": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    meta = json.load(open(tmp_path / "ckpt" / "accum" / "accum_0.meta.json"))
+    # fixture corpus: len(loader) microbatches → len(loader)//2 optimizer steps
+    from clip_event_tpu.data.voa import VOADescriptionDataset
+
+    ds_len = len(VOADescriptionDataset(
+        posneg_descriptions_json=voa["descriptions_json"],
+        image_caption_jsons=[voa["mapping_json"]],
+        image_dirs=[voa["image_dir"]],
+        image_size=32,
+    ))
+    assert meta["step"] == (ds_len // 2) // 2  # drop_last batches, then //K
 
 
 @pytest.mark.slow

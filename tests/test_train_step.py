@@ -193,6 +193,75 @@ def test_multi_step_fixed_batch():
     assert losses[-1] < losses[0]  # it trains
 
 
+def test_accum_step_matches_manual_average():
+    """make_accum_step(K) must equal: average the K microbatch gradients,
+    apply ONE optimizer update — with the FULL loss surface enabled and
+    every metric the K-average of the per-microbatch metrics."""
+    import optax
+
+    from clip_event_tpu.engine.train_step import loss_fn, make_accum_step
+
+    cfg = TINY_VIT
+    # SGD: its update is LINEAR in the gradient, so the comparison is not
+    # subject to Adam's sign(g) epsilon amplification (see the dp test above)
+    opt = build_optimizer("sgd", build_schedule("none", 1e-3, 10))
+    params = init_params(jax.random.PRNGKey(21), cfg)
+    rng = np.random.default_rng(77)
+    K = 3
+    batches = [
+        _add_bbox_channel(_make_batch(cfg, seed=s, alignment=True), cfg, rng)
+        for s in (30, 31, 32)
+    ]
+    kwargs = dict(alignment=True, multiattention="desc_type", remat=False)
+
+    # manual reference: K independent grads → mean → one update
+    def gfn(p, b):
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            p, b, cfg, "ce", True, True, False, jnp.float32, False,
+            "desc_type", "mean", 1,
+        )
+
+    outs = [gfn(params, b) for b in batches]
+    grads = jax.tree.map(lambda *g: sum(g) * (1.0 / K), *[o[1] for o in outs])
+    opt_state = opt.init(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    manual_params = optax.apply_updates(params, updates)
+    manual_metrics = {
+        "loss": np.mean([float(o[0][0]) for o in outs]),
+        "loss_ot": np.mean([float(o[0][1]["loss_ot"]) for o in outs]),
+    }
+
+    accum = make_accum_step(cfg, opt, K, donate=False, **kwargs)
+    state = create_train_state(params, opt)
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    new_state, metrics = accum(state, stacked)
+
+    assert bool(metrics["finite"])
+    np.testing.assert_allclose(float(metrics["loss"]), manual_metrics["loss"], rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["loss_ot"]), manual_metrics["loss_ot"], rtol=1e-5)
+    assert int(new_state.step) == 1  # K microbatches = ONE optimizer step
+    for a, b in zip(jax.tree.leaves(manual_params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_accum_step_nan_guard():
+    """A NaN in ANY microbatch must freeze the whole accumulated update."""
+    from clip_event_tpu.engine.train_step import make_accum_step
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    params = init_params(jax.random.PRNGKey(22), cfg)
+    b0, b1 = _make_batch(cfg, seed=40), _make_batch(cfg, seed=41)
+    b1["image"][0, 0, 0, 0] = np.nan  # poison the SECOND microbatch
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    accum = make_accum_step(cfg, opt, 2, donate=False)
+    state = create_train_state(params, opt)
+    old_leaf = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    state, metrics = accum(state, stacked)
+    assert not bool(metrics["finite"])
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), old_leaf)
+
+
 def test_sim_entity_chunked_matches_unchunked():
     """alignment_chunks runs the object/entity encodes in sequential slices;
     results must be identical (and non-dividing chunk counts fall back)."""

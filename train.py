@@ -58,6 +58,7 @@ def main():
     from clip_event_tpu.engine.optim import build_optimizer, build_schedule
     from clip_event_tpu.engine.train_step import (
         create_train_state,
+        make_accum_step,
         make_multi_step,
         make_train_step,
     )
@@ -150,7 +151,10 @@ def main():
         rank=jax.process_index(),
         world_size=jax.process_count(),
     )
-    steps_per_epoch = max(len(loader), 1)
+    grad_accum = max(int(cfg["grad_accum_steps"]), 1)
+    # optimizer steps per epoch: with gradient accumulation every K loader
+    # microbatches make one optimizer step (trailing partial group dropped)
+    steps_per_epoch = max(len(loader) // grad_accum, 1)
 
     # ---- optimizer / schedule / step
     schedule = build_schedule(
@@ -190,9 +194,26 @@ def main():
             multiattention=cfg["multiattention"],
             multiattention_pooling=cfg["multiattention_pooling"],
         )
-        train_step = None
+        train_step = accum_step = None
+    elif grad_accum > 1:
+        # K loader microbatches → ONE optimizer step; microbatch activations
+        # are freed between scan iterations, so the memory envelope is the
+        # single-microbatch step's
+        accum_step = make_accum_step(
+            mcfg, optimizer, grad_accum,
+            loss_type=cfg["constrastive_loss"],
+            overbatch=cfg["constrastive_overbatch"],
+            alignment=cfg["alignment"],
+            alignment_chunks=cfg["alignment_chunks"],
+            use_pallas_ot=cfg["use_pallas_ot"],
+            compute_dtype=compute_dtype,
+            remat=cfg["remat"],
+            multiattention=cfg["multiattention"],
+            multiattention_pooling=cfg["multiattention_pooling"],
+        )
+        multi_step = train_step = None
     else:
-        multi_step = None
+        multi_step = accum_step = None
         train_step = make_train_step(
             mcfg, optimizer,
             loss_type=cfg["constrastive_loss"],
@@ -277,9 +298,11 @@ def main():
     global_step = resume_step
     resume_in_epoch = 0
     if mid_epoch_resume and cfg["is_train"]:
-        # batches == optimizer steps (drop_last=True ⇒ uniform epochs), so
-        # the in-epoch offset follows from the global step. Requires the
-        # resumed run to keep batch_size/world_size (steps_per_epoch) fixed.
+        # optimizer steps per epoch are uniform (drop_last=True), so the
+        # in-epoch offset follows from the global step; the loader offset is
+        # grad_accum microbatches per optimizer step. Requires the resumed
+        # run to keep batch_size/world_size/grad_accum (steps_per_epoch)
+        # fixed.
         resume_in_epoch = min(
             max(resume_step - begin_epoch * steps_per_epoch, 0), steps_per_epoch
         )
@@ -294,7 +317,10 @@ def main():
     stop_training = False
     for epoch in range(begin_epoch, cfg["max_epoch"]):
         log.info("=> Epoch[%d]: train start", epoch)
-        loader.set_epoch(epoch, start_batch=resume_in_epoch if epoch == begin_epoch else 0)
+        loader.set_epoch(
+            epoch,
+            start_batch=resume_in_epoch * grad_accum if epoch == begin_epoch else 0,
+        )
         metric_logger = MetricLogger()
         start = time.time()
         profiling = args.profile_dir and epoch == begin_epoch and jax.process_index() == 0
@@ -360,6 +386,30 @@ def main():
                             (global_step, {k: v[j] for k, v in metrics_k.items()})
                         )
                         global_step += 1
+                    if len(pending) >= max(cfg["print_freq"], 1):
+                        drain()
+                    if step_hooks():
+                        break
+            drain()
+        elif grad_accum > 1:
+            import jax.numpy as _jnp
+
+            buffer = []
+            for batch, _meta in metric_logger.log_every(
+                device_prefetch(loader, mesh, depth=cfg["prefetch"]),
+                cfg["print_freq"],
+                header=f"Epoch: [{epoch}]",
+            ):
+                buffer.append(batch)
+                if len(buffer) == grad_accum:
+                    stacked = {
+                        k: _jnp.stack([b[k] for b in buffer]) for k in buffer[0]
+                    }
+                    buffer = []
+                    # K microbatches, ONE optimizer step, one metrics dict
+                    state, metrics = accum_step(state, stacked)
+                    pending.append((global_step, metrics))
+                    global_step += 1
                     if len(pending) >= max(cfg["print_freq"], 1):
                         drain()
                     if step_hooks():
