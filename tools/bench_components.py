@@ -885,8 +885,76 @@ def bench_alignment():
         layers.set_attention_impl("xla")
 
 
+def bench_accum(ks=(2, 4)):
+    """Gradient accumulation overhead: per-MICROBATCH cost of the
+    K-accumulated step vs the plain single step at the same microbatch size
+    (ViT-B/32, bf16, remat, pallas attention — the train defaults)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import (
+        create_train_state,
+        make_accum_step,
+        make_multi_step,
+    )
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    layout = build_label_layout(B, 1, D - 1, "ce", True)
+    batch = {
+        "image": _image_inputs(cfg),
+        "text": _text_inputs(cfg),
+        "labels_per_image": layout.labels_per_image,
+        "labels_per_text": layout.labels_per_text,
+        "index_pos": layout.index_pos,
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    layers.set_attention_impl("pallas")
+    try:
+        # baseline: per-optimizer-step time at the microbatch size
+        _, run_k = make_multi_step(cfg, optimizer, STEPS, loss_type="ce",
+                                   overbatch=True, compute_dtype=jnp.bfloat16,
+                                   remat=True, donate=False)
+        holder = {"state": create_train_state(params, optimizer)}
+
+        def call(c):
+            s, m = run_k(holder["state"], batch)
+            holder["state"] = s
+            return m["loss"][-1] + c * 0
+
+        dt0 = _bench_chain(call, STEPS)
+        print(f"{'single step (B=%d)' % B:<44s} {dt0 * 1e3:8.2f} ms/microbatch",
+              flush=True)
+
+        for K in ks:
+            stacked = {k: jnp.stack([v] * K) for k, v in batch.items()}
+            accum = make_accum_step(cfg, optimizer, K, loss_type="ce",
+                                    overbatch=True, compute_dtype=jnp.bfloat16,
+                                    remat=True, donate=False)
+            holder_a = {"state": create_train_state(params, optimizer)}
+
+            def call_a(c):
+                s, m = accum(holder_a["state"], stacked)
+                holder_a["state"] = s
+                return m["loss"] + c * 0
+
+            dt = _bench_chain(call_a, K, calls=4)
+            print(f"{'accum K=%d (B=%d micro, eff %d)' % (K, B, K * B):<44s} "
+                  f"{dt * 1e3:8.2f} ms/microbatch "
+                  f"({dt / dt0 * 100 - 100:+.1f}% vs single)", flush=True)
+    finally:
+        layers.set_attention_impl("xla")
+
+
 EXPERIMENTS = {
     "matmul": bench_matmul,
+    "accum": bench_accum,
     "megakernel": bench_megakernel,
     "alignment": bench_alignment,
     "step": bench_step,
