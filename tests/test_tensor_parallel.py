@@ -71,6 +71,46 @@ def test_tp_forward_and_grads_match_replicated():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
 
 
+def test_accum_step_under_tp_matches_replicated():
+    """make_accum_step over tp-sharded params equals the unsharded run: the
+    grad-accumulation scan composes with Megatron weight sharding."""
+    import optax
+
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_accum_step
+
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    opt = build_optimizer("sgd", build_schedule("none", 1e-3, 10))
+    K = 2
+    b0, b1 = _make_batch(cfg, seed=50), _make_batch(cfg, seed=51)
+    stacked = {k: np.stack([b0[k], b1[k]]) for k in b0}
+    accum = make_accum_step(cfg, opt, K, donate=False)
+
+    state_ref = create_train_state(params, opt)
+    state_ref, metrics_ref = accum(state_ref, stacked)
+
+    mesh = make_mesh_2d(dp=2, tp=4)
+    params_tp = shard_params(params, mesh)
+    state_tp = create_train_state(params_tp, opt)
+    stacked_tp = {
+        k: jax.device_put(
+            np.asarray(v),
+            # microbatch axis is dim 1 of the [K, B, ...] stack
+            NamedSharding(mesh, P(None, "dp") if np.asarray(v).ndim >= 2 else P()),
+        )
+        for k, v in stacked.items()
+    }
+    state_tp, metrics_tp = accum(state_tp, stacked_tp)
+
+    np.testing.assert_allclose(
+        float(metrics_ref["loss"]), float(metrics_tp["loss"]), rtol=1e-6
+    )
+    assert int(state_tp.step) == 1
+    for a, b in zip(jax.tree.leaves(state_ref.params), jax.tree.leaves(state_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
 def test_tp_unit_mesh_replicates():
     mesh = make_mesh_2d(dp=8, tp=1)
     params = init_params(jax.random.PRNGKey(2), TINY_VIT)
