@@ -243,11 +243,21 @@ def make_accum_step(
         )
 
     def accum_step(state: TrainState, batches):
-        # first microbatch outside the scan seeds the carry structure
-        # (gradient pytree + the full metrics dict, whichever branches are on)
+        lead = jax.tree.leaves(batches)[0].shape[0]
+        if lead != accum_steps:
+            raise ValueError(
+                f"batch stack has leading dim {lead}, expected "
+                f"accum_steps={accum_steps} (gradients would mis-scale)"
+            )
+        # seed the carry structure (gradient pytree + the full metrics dict,
+        # whichever loss branches are on) from abstract shapes only — peeling
+        # a real first microbatch would duplicate the whole fwd+bwd graph in
+        # the compiled program
         first = jax.tree.map(lambda x: x[0], batches)
-        (total0, loss_dict0), grads0 = grad_fn(state.params, first)
-        msum0 = {"loss": total0, **loss_dict0}
+        (total_s, loss_dict_s), grads_s = jax.eval_shape(grad_fn, state.params, first)
+        zeros = lambda s: jnp.zeros(s.shape, s.dtype)  # noqa: E731
+        gsum0 = jax.tree.map(zeros, grads_s)
+        msum0 = {"loss": zeros(total_s), **jax.tree.map(zeros, loss_dict_s)}
 
         def body(carry, micro):
             gsum, msum = carry
@@ -256,8 +266,7 @@ def make_accum_step(
             msum = jax.tree.map(jnp.add, msum, {"loss": total, **loss_dict})
             return (gsum, msum), None
 
-        rest = jax.tree.map(lambda x: x[1:], batches)
-        (gsum, msum), _ = jax.lax.scan(body, (grads0, msum0), rest)
+        (gsum, msum), _ = jax.lax.scan(body, (gsum0, msum0), batches)
         inv = 1.0 / accum_steps
         grads = jax.tree.map(lambda g: (g * inv).astype(g.dtype), gsum)
         metrics_avg = {k: v * inv for k, v in msum.items()}

@@ -944,7 +944,9 @@ def bench_accum(ks=(2, 4)):
                 holder_a["state"] = s
                 return m["loss"] + c * 0
 
-            dt = _bench_chain(call_a, K, calls=4)
+            # match the baseline's tail-fetch amortization: chain enough
+            # calls that calls*K ≈ CALLS*STEPS microbatches
+            dt = _bench_chain(call_a, K, calls=max(4, (CALLS * STEPS) // K))
             print(f"{'accum K=%d (B=%d micro, eff %d)' % (K, B, K * B):<44s} "
                   f"{dt * 1e3:8.2f} ms/microbatch "
                   f"({dt / dt0 * 100 - 100:+.1f}% vs single)", flush=True)

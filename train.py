@@ -152,6 +152,11 @@ def main():
         world_size=jax.process_count(),
     )
     grad_accum = max(int(cfg["grad_accum_steps"]), 1)
+    if cfg["is_train"] and len(loader) < grad_accum:
+        raise SystemExit(
+            f"grad_accum_steps={grad_accum} > batches per epoch "
+            f"({len(loader)}): every epoch would run ZERO optimizer steps"
+        )
     # optimizer steps per epoch: with gradient accumulation every K loader
     # microbatches make one optimizer step (trailing partial group dropped)
     steps_per_epoch = max(len(loader) // grad_accum, 1)
@@ -363,7 +368,11 @@ def main():
                 stop_training = True
             return stop_training
 
-        if steps_per_dispatch > 1:
+        def run_buffered(group, dispatch):
+            """Buffer `group` loader batches, stack, dispatch; `dispatch`
+            returns the list of (optimizer-step) metrics dicts the stack
+            produced. Shared by the K-steps-fused and grad-accum modes."""
+            nonlocal state, global_step
             import jax.numpy as _jnp
 
             buffer = []
@@ -373,48 +382,40 @@ def main():
                 header=f"Epoch: [{epoch}]",
             ):
                 buffer.append(batch)
-                if len(buffer) == steps_per_dispatch:
+                if len(buffer) == group:
                     stacked = {
                         k: _jnp.stack([b[k] for b in buffer]) for k in buffer[0]
                     }
                     buffer = []
-                    # same step function as single-dispatch: full metrics
-                    # dict per fused step, each leaf stacked [K]
-                    state, metrics_k = multi_step(state, stacked)
-                    for j in range(steps_per_dispatch):
-                        pending.append(
-                            (global_step, {k: v[j] for k, v in metrics_k.items()})
-                        )
+                    for m in dispatch(stacked):
+                        pending.append((global_step, m))
                         global_step += 1
                     if len(pending) >= max(cfg["print_freq"], 1):
                         drain()
                     if step_hooks():
                         break
             drain()
-        elif grad_accum > 1:
-            import jax.numpy as _jnp
 
-            buffer = []
-            for batch, _meta in metric_logger.log_every(
-                device_prefetch(loader, mesh, depth=cfg["prefetch"]),
-                cfg["print_freq"],
-                header=f"Epoch: [{epoch}]",
-            ):
-                buffer.append(batch)
-                if len(buffer) == grad_accum:
-                    stacked = {
-                        k: _jnp.stack([b[k] for b in buffer]) for k in buffer[0]
-                    }
-                    buffer = []
-                    # K microbatches, ONE optimizer step, one metrics dict
-                    state, metrics = accum_step(state, stacked)
-                    pending.append((global_step, metrics))
-                    global_step += 1
-                    if len(pending) >= max(cfg["print_freq"], 1):
-                        drain()
-                    if step_hooks():
-                        break
-            drain()
+        if steps_per_dispatch > 1:
+            # same step function as single-dispatch: full metrics dict per
+            # fused step, each leaf stacked [K]
+            def dispatch_fused(stacked):
+                nonlocal state
+                state, metrics_k = multi_step(state, stacked)
+                return [
+                    {k: v[j] for k, v in metrics_k.items()}
+                    for j in range(steps_per_dispatch)
+                ]
+
+            run_buffered(steps_per_dispatch, dispatch_fused)
+        elif grad_accum > 1:
+            # K microbatches, ONE optimizer step, one metrics dict
+            def dispatch_accum(stacked):
+                nonlocal state
+                state, metrics = accum_step(state, stacked)
+                return [metrics]
+
+            run_buffered(grad_accum, dispatch_accum)
         else:
             for batch, _meta in metric_logger.log_every(
                 device_prefetch(loader, mesh, depth=cfg["prefetch"]),
