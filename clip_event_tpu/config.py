@@ -85,6 +85,11 @@ _DEFAULTS: Dict[str, Any] = {
     # transformer weights column/row-sharded (parallel/sharding.py); 1 = dp
     # only. The stretch parallelism for ViT-L/14+ (SURVEY §2.7).
     "tp": 1,
+    # ZeRO-1 optimizer-state sharding: partition Adam moments over the dp
+    # axis (parallel/sharding.py::zero_opt_shardings). Divides the fp32
+    # moment HBM (2× param bytes) by the dp degree at the cost of one
+    # param-sized all-gather of the update per step. No effect on 1 device.
+    "zero": False,
     "num_workers": 8,
     "prefetch": 2,
     # offline preprocessed-image cache dir (cache_images.py); None = live
@@ -136,6 +141,8 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         raise ConfigError("batch_size must be a positive int")
     if not isinstance(out["tp"], int) or out["tp"] < 1:
         raise ConfigError("tp must be a positive int (1 = data-parallel only)")
+    if not isinstance(out["zero"], bool):
+        raise ConfigError("zero must be a bool (ZeRO-1 moment sharding)")
     if out["begin_epoch"] > out["max_epoch"]:
         raise ConfigError("begin_epoch must be ≤ max_epoch")
     if not isinstance(out["grad_accum_steps"], int) or out["grad_accum_steps"] < 1:

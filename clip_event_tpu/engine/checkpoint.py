@@ -55,6 +55,20 @@ def save_checkpoint(
     and resume re-enters epoch `epoch` at batch offset derived from `step`
     instead of starting at `epoch + 1`.
     """
+    def _to_host(x):
+        # ZeRO-1 moments can be sharded ACROSS processes (train.py "zero");
+        # gather those before the rank-0 numpy save. Fully-addressable
+        # arrays (replicated, or sharded within this host) copy directly.
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    # the cross-process gather must run on EVERY process (it's a collective);
+    # only rank 0 writes the result
+    host_params = jax.tree.map(_to_host, params)
+    host_opt_state = jax.tree.map(_to_host, opt_state)
     if jax.process_index() != 0:
         return None
     import orbax.checkpoint as ocp
@@ -65,8 +79,8 @@ def save_checkpoint(
             ckptr.save(
                 path,
                 {
-                    "params": jax.tree.map(np.asarray, params),
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "params": host_params,
+                    "opt_state": host_opt_state,
                     "step": np.asarray(int(step), np.int32),
                 },
                 force=True,

@@ -107,9 +107,17 @@ def _apply_update(
     total: jnp.ndarray,
     loss_dict: Dict[str, jnp.ndarray],
     optimizer: optax.GradientTransformation,
+    state_shardings: Optional[TrainState] = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer update + the non-finite freeze, shared by every step
-    variant (single, K-fused, gradient-accumulated)."""
+    variant (single, K-fused, gradient-accumulated).
+
+    `state_shardings` (a TrainState of NamedSharding pytrees) pins the output
+    state's layout to the input's. Needed under ZeRO-1 moment sharding:
+    without the constraint GSPMD is free to resolve the replicated-params +
+    dp-sharded-updates sum either way, and dp-sharded *params* out of one
+    step would silently re-layout every subsequent step's forward.
+    """
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     finite = jnp.isfinite(total)
@@ -120,6 +128,13 @@ def _apply_update(
         (new_params, new_opt_state),
         (state.params, state.opt_state),
     )
+    if state_shardings is not None:
+        new_params = jax.lax.with_sharding_constraint(
+            new_params, state_shardings.params
+        )
+        new_opt_state = jax.lax.with_sharding_constraint(
+            new_opt_state, state_shardings.opt_state
+        )
     metrics = {"loss": total, "finite": finite, **loss_dict}
     return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
@@ -136,6 +151,7 @@ def _build_step_fn(
     multiattention: Optional[str] = None,
     multiattention_pooling: str = "mean",
     alignment_chunks: int = 1,
+    state_shardings: Optional[TrainState] = None,
 ):
     """The ONE step function both dispatch modes share: the K-steps-fused
     path must carry the identical loss surface (alignment, multiattention)
@@ -147,7 +163,10 @@ def _build_step_fn(
             use_pallas_ot, compute_dtype, remat, multiattention,
             multiattention_pooling, alignment_chunks,
         )
-        return _apply_update(state, grads, total, loss_dict, optimizer)
+        return _apply_update(
+            state, grads, total, loss_dict, optimizer,
+            state_shardings=state_shardings,
+        )
 
     return step_fn
 
@@ -218,6 +237,7 @@ def make_accum_step(
     multiattention_pooling: str = "mean",
     alignment_chunks: int = 1,
     donate: bool = True,
+    state_shardings: Optional[TrainState] = None,
 ):
     """ONE optimizer step from K microbatches (gradient accumulation).
 
@@ -271,7 +291,10 @@ def make_accum_step(
         grads = jax.tree.map(lambda g: (g * inv).astype(g.dtype), gsum)
         metrics_avg = {k: v * inv for k, v in msum.items()}
         total = metrics_avg.pop("loss")
-        return _apply_update(state, grads, total, metrics_avg, optimizer)
+        return _apply_update(
+            state, grads, total, metrics_avg, optimizer,
+            state_shardings=state_shardings,
+        )
 
     return jax.jit(accum_step, donate_argnums=(0,) if donate else ())
 

@@ -86,3 +86,56 @@ def param_shardings(params, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     """device_put the params with tensor-parallel layout."""
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+def zero_opt_shardings(opt_state, mesh: Mesh, min_size: int = 1024):
+    """ZeRO-1 optimizer-state sharding: a NamedSharding pytree for `opt_state`
+    that partitions every large moment leaf over the DATA axis.
+
+    The reference replicates Adam moments on every rank (torch DDP keeps a
+    full optimizer per GPU); on TPU the moments are 2× the fp32 params —
+    the single biggest static HBM consumer after activations. Sharding them
+    over `dp` divides that cost by the dp degree; under jit the moment
+    update then runs shard-local and GSPMD all-gathers only the final
+    parameter *update* (one param-sized gather per step over ICI), which is
+    exactly the ZeRO-1 communication shape.
+
+    Per leaf: keep any existing spec dims (tp-sharded moments from
+    `optimizer.init` on tp-sharded params), then annotate the LARGEST
+    still-unsharded dimension divisible by dp. Scalars, small leaves
+    (< min_size elements), and leaves with no divisible dim replicate.
+    """
+    dp = dict(mesh.shape).get(DATA_AXIS, 1)
+
+    def one(leaf):
+        shape = getattr(leaf, "shape", None)
+        if shape is None or dp <= 1:
+            return NamedSharding(mesh, P())
+        current = getattr(leaf, "sharding", None)
+        if isinstance(current, NamedSharding) and current.mesh == mesh:
+            spec = list(current.spec) + [None] * (len(shape) - len(current.spec))
+        else:
+            spec = [None] * len(shape)
+        size = 1
+        for d in shape:
+            size *= d
+        if size < min_size:
+            return NamedSharding(mesh, P(*spec))
+        candidates = [
+            (shape[d], d)
+            for d in range(len(shape))
+            if spec[d] is None and shape[d] % dp == 0
+        ]
+        if candidates:
+            _, d = max(candidates)
+            spec[d] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(one, opt_state)
+
+
+def shard_opt_state_zero(opt_state, mesh: Mesh, min_size: int = 1024):
+    """device_put the optimizer state with ZeRO-1 dp-sharded moments."""
+    return jax.device_put(
+        opt_state, zero_opt_shardings(opt_state, mesh, min_size=min_size)
+    )

@@ -1,0 +1,232 @@
+"""ZeRO-1 optimizer-state sharding tests (virtual 8-device CPU mesh).
+
+The reference replicates the full Adam state on every rank (torch DDP keeps
+one optimizer per GPU, `train.py:222-225`); `parallel/sharding.py::
+zero_opt_shardings` is the TPU-native alternative: moments partitioned over
+the dp mesh axis, the step's output layout pinned via
+`with_sharding_constraint`. These tests prove (a) the math is unchanged,
+(b) the moments really are dp-sharded and STAY sharded across steps while
+params stay replicated, and (c) a sharded state checkpoints and restores.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding  # noqa: E402
+
+from clip_event_tpu.engine.train_step import (  # noqa: E402
+    create_train_state,
+    make_train_step,
+)
+from clip_event_tpu.models import init_params  # noqa: E402
+from clip_event_tpu.parallel import make_mesh, replicate, shard_batch  # noqa: E402
+from clip_event_tpu.parallel.mesh import DATA_AXIS  # noqa: E402
+from clip_event_tpu.parallel.sharding import (  # noqa: E402
+    shard_opt_state_zero,
+    zero_opt_shardings,
+)
+from tests.test_model_parity import TINY_VIT  # noqa: E402
+from tests.test_train_step import _make_batch, _optimizer  # noqa: E402
+
+
+def _spec_axes(leaf):
+    s = getattr(leaf, "sharding", None)
+    if not isinstance(s, NamedSharding):
+        return set()
+    axes = set()
+    for part in s.spec:
+        for ax in part if isinstance(part, tuple) else (part,):
+            if ax is not None:
+                axes.add(ax)
+    return axes
+
+
+def _zero_state_and_step(cfg, opt, mesh, min_size=1024):
+    state = create_train_state(replicate(init_params(jax.random.PRNGKey(0), cfg), mesh), opt)
+    state = state._replace(
+        opt_state=shard_opt_state_zero(state.opt_state, mesh, min_size=min_size)
+    )
+    shardings = jax.tree.map(lambda x: x.sharding, state)
+    step = make_train_step(cfg, opt, donate=False, state_shardings=shardings)
+    return state, step
+
+
+def test_zero_step_matches_replicated():
+    """3 optimizer steps with dp-sharded moments must produce the same params
+    as the replicated-moment step (sharding is layout, not math). Tolerance:
+    the moment layout changes GSPMD's gradient-psum reduction order by an
+    ulp, and Adam's rsqrt amplifies last-ulp input differences toward ±lr
+    (same effect test_dp_sharded_step_matches_single_device documents), so
+    params are compared at a small fraction of one update (lr=1e-3)."""
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh(8)
+    batch = _make_batch(cfg, seed=3)
+
+    state_r = create_train_state(
+        replicate(init_params(jax.random.PRNGKey(0), cfg), mesh), opt
+    )
+    state_r = state_r._replace(opt_state=replicate(state_r.opt_state, mesh))
+    step_r = make_train_step(cfg, opt, donate=False)
+
+    state_z, step_z = _zero_state_and_step(cfg, opt, mesh)
+
+    for _ in range(3):
+        state_r, m_r = step_r(state_r, shard_batch(batch, mesh))
+        state_z, m_z = step_z(state_z, shard_batch(batch, mesh))
+        assert bool(m_r["finite"]) and bool(m_z["finite"])
+
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_z["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_r.params), jax.tree.leaves(state_z.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_zero_moments_sharded_params_replicated_across_steps():
+    """Moment leaves carry the dp axis with per-device shards 1/dp the global
+    size, and the layout survives the step (the with_sharding_constraint
+    pin); params never pick up a dp dimension."""
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh(8)
+    state, step = _zero_state_and_step(cfg, opt, mesh)
+    batch = _make_batch(cfg, seed=4)
+
+    def check(state):
+        sharded = 0
+        for leaf in jax.tree.leaves(state.opt_state):
+            if DATA_AXIS in _spec_axes(leaf):
+                sharded += 1
+                local = leaf.addressable_shards[0].data.size
+                assert local * mesh.devices.size == leaf.size
+        assert sharded > 0, "no moment leaf is dp-sharded"
+        for leaf in jax.tree.leaves(state.params):
+            assert DATA_AXIS not in _spec_axes(leaf)
+
+    check(state)
+    for _ in range(2):
+        state, metrics = step(state, shard_batch(batch, mesh))
+        assert bool(metrics["finite"])
+        check(state)
+
+
+def test_zero_shardings_compose_with_tp():
+    """On a (dp x tp) mesh a tp-sharded moment keeps its tp dim and gains dp
+    on another dim; already-replicated large leaves gain dp on their largest
+    divisible dim."""
+    from clip_event_tpu.parallel.sharding import make_mesh_2d, shard_params
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh_2d(dp=4, tp=2)
+    params = shard_params(init_params(jax.random.PRNGKey(0), cfg), mesh)
+    state = create_train_state(params, opt)
+    shardings = zero_opt_shardings(state.opt_state, mesh, min_size=64)
+
+    saw_both = False
+    for tmpl, sh in zip(
+        jax.tree.leaves(state.opt_state), jax.tree.leaves(shardings)
+    ):
+        axes_before = _spec_axes(tmpl)
+        axes_after = set()
+        for part in sh.spec:
+            for ax in part if isinstance(part, tuple) else (part,):
+                if ax is not None:
+                    axes_after.add(ax)
+        # never loses an existing (tp) annotation
+        assert axes_before <= axes_after | {DATA_AXIS}
+        if "tp" in axes_after and DATA_AXIS in axes_after:
+            saw_both = True
+    assert saw_both, "no moment leaf combines tp and dp sharding"
+
+
+def test_zero_checkpoint_roundtrip(tmp_path):
+    """A dp-sharded optimizer state saves and restores to the same values."""
+    from clip_event_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh(8)
+    state, step = _zero_state_and_step(cfg, opt, mesh)
+    batch = _make_batch(cfg, seed=5)
+    state, _ = step(state, shard_batch(batch, mesh))
+
+    path = save_checkpoint(str(tmp_path), "tiny", 0, state.params,
+                           state.opt_state, step=1)
+    assert path is not None
+    params_template = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0), cfg))
+    params, opt_state, meta = restore_checkpoint(
+        path, params_template=params_template, optimizer=opt
+    )
+    assert int(meta["step"]) == 1
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(opt_state)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=0, rtol=0
+        )
+
+
+@pytest.mark.slow
+def test_train_cli_zero_and_resume(tmp_path):
+    """`"zero": true` through the real train.py CLI on a forced 8-device CPU
+    backend, including resume from the zero run's checkpoint (restored
+    moments get re-placed dp-sharded)."""
+    from tests.fixtures import make_voa_fixture
+
+    # batch_size must be divisible by dp=8, so the corpus needs ≥ 8 instances
+    voa = make_voa_fixture(str(tmp_path / "voa"), num_docs=16)
+    base = {
+        "task": "zero",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 8,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "zero": True,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8").strip(),
+    )
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = tmp_path / "cfg0.json"
+    cfg_path.write_text(json.dumps(base))
+    proc = subprocess.run([sys.executable, "train.py", "--cfg", str(cfg_path)],
+                          capture_output=True, text=True, timeout=600,
+                          cwd=cwd, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "ZeRO-1: optimizer moments sharded over dp=8" in proc.stderr, \
+        proc.stderr[-3000:]
+    ckpt0 = tmp_path / "ckpt" / "zero" / "zero_0"
+    assert ckpt0.exists()
+
+    resume_cfg = dict(base, begin_ckpt=str(ckpt0), max_epoch=2)
+    cfg_path2 = tmp_path / "cfg1.json"
+    cfg_path2.write_text(json.dumps(resume_cfg))
+    proc = subprocess.run([sys.executable, "train.py", "--cfg", str(cfg_path2)],
+                          capture_output=True, text=True, timeout=600,
+                          cwd=cwd, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (tmp_path / "ckpt" / "zero" / "zero_1").exists()

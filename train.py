@@ -184,53 +184,20 @@ def main():
 
         set_bn_mode("batch")
     steps_per_dispatch = max(int(cfg["steps_per_dispatch"]), 1)
-    if steps_per_dispatch > 1:
-        # K steps fused into one device dispatch (lax.scan over a stacked
-        # batch) — amortizes host dispatch latency for small per-step times
-        multi_step, _ = make_multi_step(
-            mcfg, optimizer, steps_per_dispatch,
-            loss_type=cfg["constrastive_loss"],
-            overbatch=cfg["constrastive_overbatch"],
-            alignment=cfg["alignment"],
-            alignment_chunks=cfg["alignment_chunks"],
-            use_pallas_ot=cfg["use_pallas_ot"],
-            compute_dtype=compute_dtype,
-            remat=cfg["remat"],
-            multiattention=cfg["multiattention"],
-            multiattention_pooling=cfg["multiattention_pooling"],
-        )
-        train_step = accum_step = None
-    elif grad_accum > 1:
-        # K loader microbatches → ONE optimizer step; microbatch activations
-        # are freed between scan iterations, so the memory envelope is the
-        # single-microbatch step's
-        accum_step = make_accum_step(
-            mcfg, optimizer, grad_accum,
-            loss_type=cfg["constrastive_loss"],
-            overbatch=cfg["constrastive_overbatch"],
-            alignment=cfg["alignment"],
-            alignment_chunks=cfg["alignment_chunks"],
-            use_pallas_ot=cfg["use_pallas_ot"],
-            compute_dtype=compute_dtype,
-            remat=cfg["remat"],
-            multiattention=cfg["multiattention"],
-            multiattention_pooling=cfg["multiattention_pooling"],
-        )
-        multi_step = train_step = None
-    else:
-        multi_step = accum_step = None
-        train_step = make_train_step(
-            mcfg, optimizer,
-            loss_type=cfg["constrastive_loss"],
-            overbatch=cfg["constrastive_overbatch"],
-            alignment=cfg["alignment"],
-            alignment_chunks=cfg["alignment_chunks"],
-            use_pallas_ot=cfg["use_pallas_ot"],
-            compute_dtype=compute_dtype,
-            remat=cfg["remat"],
-            multiattention=cfg["multiattention"],
-            multiattention_pooling=cfg["multiattention_pooling"],
-        )
+    # shared kwargs for every step-function variant; the functions themselves
+    # are built AFTER state placement so ZeRO runs can pin the output state's
+    # shardings (see below)
+    step_kwargs = dict(
+        loss_type=cfg["constrastive_loss"],
+        overbatch=cfg["constrastive_overbatch"],
+        alignment=cfg["alignment"],
+        alignment_chunks=cfg["alignment_chunks"],
+        use_pallas_ot=cfg["use_pallas_ot"],
+        compute_dtype=compute_dtype,
+        remat=cfg["remat"],
+        multiattention=cfg["multiattention"],
+        multiattention_pooling=cfg["multiattention_pooling"],
+    )
 
     resume_step = 0
     resume_opt_state = None
@@ -298,6 +265,47 @@ def main():
                 step=jnp.asarray(resume_step, jnp.int32),
             )
     del params
+
+    state_shardings = None
+    if cfg["zero"]:
+        from clip_event_tpu.parallel.mesh import DATA_AXIS
+        from clip_event_tpu.parallel.sharding import shard_opt_state_zero
+
+        if dict(mesh.shape).get(DATA_AXIS, 1) > 1:
+            # ZeRO-1: re-place Adam moments dp-sharded (fresh or restored —
+            # this runs after any resume placement) and pin the step output's
+            # state layout so the sharding survives across steps
+            state = state._replace(
+                opt_state=shard_opt_state_zero(state.opt_state, mesh)
+            )
+            state_shardings = jax.tree.map(lambda x: x.sharding, state)
+            log.info("ZeRO-1: optimizer moments sharded over dp=%d",
+                     dict(mesh.shape)[DATA_AXIS])
+        else:
+            log.info("ZeRO-1 requested but dp=1 — moments stay replicated")
+
+    if steps_per_dispatch > 1:
+        # K steps fused into one device dispatch (lax.scan over a stacked
+        # batch) — amortizes host dispatch latency for small per-step times
+        multi_step, _ = make_multi_step(
+            mcfg, optimizer, steps_per_dispatch,
+            state_shardings=state_shardings, **step_kwargs,
+        )
+        train_step = accum_step = None
+    elif grad_accum > 1:
+        # K loader microbatches → ONE optimizer step; microbatch activations
+        # are freed between scan iterations, so the memory envelope is the
+        # single-microbatch step's
+        accum_step = make_accum_step(
+            mcfg, optimizer, grad_accum,
+            state_shardings=state_shardings, **step_kwargs,
+        )
+        multi_step = train_step = None
+    else:
+        multi_step = accum_step = None
+        train_step = make_train_step(
+            mcfg, optimizer, state_shardings=state_shardings, **step_kwargs,
+        )
 
     # ---- epoch loop
     global_step = resume_step
