@@ -90,6 +90,12 @@ _DEFAULTS: Dict[str, Any] = {
     # moment HBM (2× param bytes) by the dp degree at the cost of one
     # param-sized all-gather of the update per step. No effect on 1 device.
     "zero": False,
+    # ZeRO-3 / FSDP parameter sharding: additionally partition the params
+    # themselves over dp (parallel/sharding.py::fsdp_param_shardings). Per-
+    # device param HBM divides by dp at the cost of one all-gather per
+    # weight per direction per step; implies sharded moments. No effect on
+    # 1 device.
+    "fsdp": False,
     "num_workers": 8,
     "prefetch": 2,
     # offline preprocessed-image cache dir (cache_images.py); None = live
@@ -143,6 +149,8 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         raise ConfigError("tp must be a positive int (1 = data-parallel only)")
     if not isinstance(out["zero"], bool):
         raise ConfigError("zero must be a bool (ZeRO-1 moment sharding)")
+    if not isinstance(out["fsdp"], bool):
+        raise ConfigError("fsdp must be a bool (ZeRO-3 param sharding)")
     if out["begin_epoch"] > out["max_epoch"]:
         raise ConfigError("begin_epoch must be ≤ max_epoch")
     if not isinstance(out["grad_accum_steps"], int) or out["grad_accum_steps"] < 1:

@@ -88,6 +88,44 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_shardings(params, mesh))
 
 
+def _dp_leaf_sharding(leaf, mesh: Mesh, dp: int, min_size: int) -> NamedSharding:
+    """The shared ZeRO partitioning rule for one leaf: keep any existing spec
+    dims (tp annotations), then add the DATA axis on the LARGEST
+    still-unsharded dimension divisible by dp. Scalars, small leaves
+    (< min_size elements), and leaves with no divisible dim replicate.
+    Deterministic in the leaf SHAPE alone, so a param and its same-shaped
+    Adam moments always land on the same dim (shard-local updates)."""
+    shape = getattr(leaf, "shape", None)
+    if shape is None or dp <= 1:
+        return NamedSharding(mesh, P())
+    current = getattr(leaf, "sharding", None)
+    if isinstance(current, NamedSharding) and current.mesh == mesh:
+        spec = list(current.spec) + [None] * (len(shape) - len(current.spec))
+    else:
+        spec = [None] * len(shape)
+    def _axes(entry):
+        return entry if isinstance(entry, tuple) else (entry,)
+
+    if any(DATA_AXIS in _axes(e) for e in spec if e is not None):
+        # already dp-sharded (e.g. moments that inherited FSDP param
+        # shardings through optimizer.init) — keep as-is
+        return NamedSharding(mesh, P(*spec))
+    size = 1
+    for d in shape:
+        size *= d
+    if size < min_size:
+        return NamedSharding(mesh, P(*spec))
+    candidates = [
+        (shape[d], d)
+        for d in range(len(shape))
+        if spec[d] is None and shape[d] % dp == 0
+    ]
+    if candidates:
+        _, d = max(candidates)
+        spec[d] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def zero_opt_shardings(opt_state, mesh: Mesh, min_size: int = 1024):
     """ZeRO-1 optimizer-state sharding: a NamedSharding pytree for `opt_state`
     that partitions every large moment leaf over the DATA axis.
@@ -99,43 +137,43 @@ def zero_opt_shardings(opt_state, mesh: Mesh, min_size: int = 1024):
     update then runs shard-local and GSPMD all-gathers only the final
     parameter *update* (one param-sized gather per step over ICI), which is
     exactly the ZeRO-1 communication shape.
-
-    Per leaf: keep any existing spec dims (tp-sharded moments from
-    `optimizer.init` on tp-sharded params), then annotate the LARGEST
-    still-unsharded dimension divisible by dp. Scalars, small leaves
-    (< min_size elements), and leaves with no divisible dim replicate.
     """
     dp = dict(mesh.shape).get(DATA_AXIS, 1)
-
-    def one(leaf):
-        shape = getattr(leaf, "shape", None)
-        if shape is None or dp <= 1:
-            return NamedSharding(mesh, P())
-        current = getattr(leaf, "sharding", None)
-        if isinstance(current, NamedSharding) and current.mesh == mesh:
-            spec = list(current.spec) + [None] * (len(shape) - len(current.spec))
-        else:
-            spec = [None] * len(shape)
-        size = 1
-        for d in shape:
-            size *= d
-        if size < min_size:
-            return NamedSharding(mesh, P(*spec))
-        candidates = [
-            (shape[d], d)
-            for d in range(len(shape))
-            if spec[d] is None and shape[d] % dp == 0
-        ]
-        if candidates:
-            _, d = max(candidates)
-            spec[d] = DATA_AXIS
-        return NamedSharding(mesh, P(*spec))
-
-    return jax.tree.map(one, opt_state)
+    return jax.tree.map(
+        lambda leaf: _dp_leaf_sharding(leaf, mesh, dp, min_size), opt_state
+    )
 
 
 def shard_opt_state_zero(opt_state, mesh: Mesh, min_size: int = 1024):
     """device_put the optimizer state with ZeRO-1 dp-sharded moments."""
     return jax.device_put(
         opt_state, zero_opt_shardings(opt_state, mesh, min_size=min_size)
+    )
+
+
+def fsdp_param_shardings(params, mesh: Mesh, min_size: int = 1024):
+    """ZeRO-3/FSDP parameter sharding: every large param leaf partitioned
+    over the DATA axis by the same largest-divisible-dim rule as the
+    ZeRO-1 moments (`_dp_leaf_sharding`), composing with tp annotations.
+
+    Under jit, GSPMD inserts the per-use all-gather of each weight INSIDE
+    the layer `lax.scan` (the stacked [L, ...] leaves shard a non-scan dim,
+    so the gather follows the per-iteration dynamic-slice) and the backward
+    dual reduce-scatters the gradient — grads land sharded, the Adam update
+    runs shard-local, and per-device param HBM divides by dp. This is the
+    full FSDP communication shape: one all-gather per weight per direction
+    per step over ICI instead of a replicated copy per chip. The reference
+    has no counterpart (torch DDP replicates, SURVEY §2.7 lists ZeRO/FSDP
+    as explicitly absent).
+    """
+    dp = dict(mesh.shape).get(DATA_AXIS, 1)
+    return jax.tree.map(
+        lambda leaf: _dp_leaf_sharding(leaf, mesh, dp, min_size), params
+    )
+
+
+def shard_params_fsdp(params, mesh: Mesh, min_size: int = 1024):
+    """device_put the params with FSDP dp-sharded layout (keeps tp dims)."""
+    return jax.device_put(
+        params, fsdp_param_shardings(params, mesh, min_size=min_size)
     )

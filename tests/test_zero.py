@@ -1,12 +1,14 @@
-"""ZeRO-1 optimizer-state sharding tests (virtual 8-device CPU mesh).
+"""ZeRO-1/ZeRO-3 state-sharding tests (virtual 8-device CPU mesh).
 
 The reference replicates the full Adam state on every rank (torch DDP keeps
-one optimizer per GPU, `train.py:222-225`); `parallel/sharding.py::
-zero_opt_shardings` is the TPU-native alternative: moments partitioned over
-the dp mesh axis, the step's output layout pinned via
+one optimizer per GPU, `train.py:222-225`) and SURVEY §2.7 lists ZeRO/FSDP
+as explicitly absent; `parallel/sharding.py::zero_opt_shardings` (moments
+over dp) and `fsdp_param_shardings` (params too) are the TPU-native
+additions, with the step's output layout pinned via
 `with_sharding_constraint`. These tests prove (a) the math is unchanged,
-(b) the moments really are dp-sharded and STAY sharded across steps while
-params stay replicated, and (c) a sharded state checkpoints and restores.
+(b) the state really is dp-sharded and STAYS sharded across steps (and for
+ZeRO-1 that params stay replicated), and (c) a sharded state checkpoints
+and restores.
 """
 
 import json
@@ -29,7 +31,9 @@ from clip_event_tpu.models import init_params  # noqa: E402
 from clip_event_tpu.parallel import make_mesh, replicate, shard_batch  # noqa: E402
 from clip_event_tpu.parallel.mesh import DATA_AXIS  # noqa: E402
 from clip_event_tpu.parallel.sharding import (  # noqa: E402
+    fsdp_param_shardings,
     shard_opt_state_zero,
+    shard_params_fsdp,
     zero_opt_shardings,
 )
 from tests.test_model_parity import TINY_VIT  # noqa: E402
@@ -171,11 +175,115 @@ def test_zero_checkpoint_roundtrip(tmp_path):
         )
 
 
+def _fsdp_state_and_step(cfg, opt, mesh, min_size=1024):
+    params = shard_params_fsdp(
+        replicate(init_params(jax.random.PRNGKey(0), cfg), mesh), mesh,
+        min_size=min_size,
+    )
+    state = create_train_state(params, opt)
+    state = state._replace(
+        opt_state=shard_opt_state_zero(state.opt_state, mesh, min_size=min_size)
+    )
+    shardings = jax.tree.map(lambda x: x.sharding, state)
+    step = make_train_step(cfg, opt, donate=False, state_shardings=shardings)
+    return state, step
+
+
+def test_fsdp_step_matches_replicated():
+    """3 optimizer steps with dp-sharded params AND moments (ZeRO-3) produce
+    the same params as the replicated step, modulo the same reduction-order
+    ulp tolerance the ZeRO-1 test documents."""
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh(8)
+    batch = _make_batch(cfg, seed=6)
+
+    state_r = create_train_state(
+        replicate(init_params(jax.random.PRNGKey(0), cfg), mesh), opt
+    )
+    state_r = state_r._replace(opt_state=replicate(state_r.opt_state, mesh))
+    step_r = make_train_step(cfg, opt, donate=False)
+
+    state_f, step_f = _fsdp_state_and_step(cfg, opt, mesh, min_size=64)
+
+    for _ in range(3):
+        state_r, m_r = step_r(state_r, shard_batch(batch, mesh))
+        state_f, m_f = step_f(state_f, shard_batch(batch, mesh))
+        assert bool(m_r["finite"]) and bool(m_f["finite"])
+
+    np.testing.assert_allclose(float(m_r["loss"]), float(m_f["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_r.params), jax.tree.leaves(state_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fsdp_params_and_moments_sharded_across_steps():
+    """Param leaves carry the dp axis with 1/dp-size per-device shards, the
+    layout survives steps, and each moment shards the SAME dim as its param
+    (the deterministic shape rule → shard-local Adam updates)."""
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh(8)
+    state, step = _fsdp_state_and_step(cfg, opt, mesh, min_size=64)
+    batch = _make_batch(cfg, seed=7)
+
+    def check(state):
+        sharded = 0
+        for leaf in jax.tree.leaves(state.params):
+            if DATA_AXIS in _spec_axes(leaf):
+                sharded += 1
+                local = leaf.addressable_shards[0].data.size
+                assert local * mesh.devices.size == leaf.size
+        assert sharded > 0, "no param leaf is dp-sharded"
+
+    check(state)
+    # moments mirror the param dim choice: collect spec-by-shape from params
+    by_shape = {}
+    for leaf in jax.tree.leaves(state.params):
+        by_shape.setdefault(leaf.shape, leaf.sharding.spec)
+    for leaf in jax.tree.leaves(state.opt_state):
+        spec = by_shape.get(getattr(leaf, "shape", None))
+        if spec is not None and DATA_AXIS in _spec_axes(leaf):
+            assert leaf.sharding.spec == spec, (
+                f"moment {leaf.shape} sharded {leaf.sharding.spec}, "
+                f"param {spec}"
+            )
+    for _ in range(2):
+        state, metrics = step(state, shard_batch(batch, mesh))
+        assert bool(metrics["finite"])
+        check(state)
+
+
+def test_fsdp_shardings_compose_with_tp():
+    """On a (dp x tp) mesh a tp-sharded param keeps its tp dim and gains dp
+    on another dim."""
+    from clip_event_tpu.parallel.sharding import make_mesh_2d, shard_params
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh_2d(dp=4, tp=2)
+    params = shard_params(init_params(jax.random.PRNGKey(0), cfg), mesh)
+    shardings = fsdp_param_shardings(params, mesh, min_size=64)
+
+    saw_both = False
+    for tmpl, sh in zip(jax.tree.leaves(params), jax.tree.leaves(shardings)):
+        axes_before = _spec_axes(tmpl)
+        axes_after = set()
+        for part in sh.spec:
+            for ax in part if isinstance(part, tuple) else (part,):
+                if ax is not None:
+                    axes_after.add(ax)
+        assert axes_before <= axes_after | {DATA_AXIS}
+        if "tp" in axes_after and DATA_AXIS in axes_after:
+            saw_both = True
+    assert saw_both, "no param leaf combines tp and dp sharding"
+
+
 @pytest.mark.slow
-def test_train_cli_zero_and_resume(tmp_path):
-    """`"zero": true` through the real train.py CLI on a forced 8-device CPU
-    backend, including resume from the zero run's checkpoint (restored
-    moments get re-placed dp-sharded)."""
+@pytest.mark.parametrize("mode", ["zero", "fsdp"])
+def test_train_cli_zero_and_resume(tmp_path, mode):
+    """`"zero"`/`"fsdp"` through the real train.py CLI on a forced 8-device
+    CPU backend, including resume from the run's checkpoint (restored
+    params/moments get re-placed dp-sharded)."""
     from tests.fixtures import make_voa_fixture
 
     # batch_size must be divisible by dp=8, so the corpus needs ≥ 8 instances
@@ -196,7 +304,7 @@ def test_train_cli_zero_and_resume(tmp_path):
         "compute_dtype": "float32",
         "remat": False,
         "num_workers": 2,
-        "zero": True,
+        mode: True,
         "model": {
             "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
             "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
@@ -219,6 +327,9 @@ def test_train_cli_zero_and_resume(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "ZeRO-1: optimizer moments sharded over dp=8" in proc.stderr, \
         proc.stderr[-3000:]
+    if mode == "fsdp":
+        assert "FSDP: params sharded over dp=8" in proc.stderr, \
+            proc.stderr[-3000:]
     ckpt0 = tmp_path / "ckpt" / "zero" / "zero_0"
     assert ckpt0.exists()
 

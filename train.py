@@ -267,14 +267,25 @@ def main():
     del params
 
     state_shardings = None
-    if cfg["zero"]:
+    if cfg["zero"] or cfg["fsdp"]:
         from clip_event_tpu.parallel.mesh import DATA_AXIS
-        from clip_event_tpu.parallel.sharding import shard_opt_state_zero
+        from clip_event_tpu.parallel.sharding import (
+            shard_opt_state_zero,
+            shard_params_fsdp,
+        )
 
         if dict(mesh.shape).get(DATA_AXIS, 1) > 1:
-            # ZeRO-1: re-place Adam moments dp-sharded (fresh or restored —
-            # this runs after any resume placement) and pin the step output's
-            # state layout so the sharding survives across steps
+            # ZeRO: re-place the state dp-sharded (fresh or restored — this
+            # runs after any resume placement) and pin the step output's
+            # layout so the sharding survives across steps. fsdp (ZeRO-3)
+            # shards the params too and implies sharded moments; zero alone
+            # (ZeRO-1) shards only the moments.
+            if cfg["fsdp"]:
+                state = state._replace(
+                    params=shard_params_fsdp(state.params, mesh)
+                )
+                log.info("FSDP: params sharded over dp=%d",
+                         dict(mesh.shape)[DATA_AXIS])
             state = state._replace(
                 opt_state=shard_opt_state_zero(state.opt_state, mesh)
             )
@@ -282,7 +293,7 @@ def main():
             log.info("ZeRO-1: optimizer moments sharded over dp=%d",
                      dict(mesh.shape)[DATA_AXIS])
         else:
-            log.info("ZeRO-1 requested but dp=1 — moments stay replicated")
+            log.info("ZeRO/FSDP requested but dp=1 — state stays replicated")
 
     if steps_per_dispatch > 1:
         # K steps fused into one device dispatch (lax.scan over a stacked
