@@ -253,6 +253,42 @@ def test_fsdp_params_and_moments_sharded_across_steps():
         check(state)
 
 
+def test_fsdp_step_emits_weight_gathers():
+    """The compiled FSDP step contains the per-use weight all-gathers that
+    define the ZeRO-3 communication shape — strictly more all-gather ops
+    than the replicated baseline (whose gathers are only the InfoNCE
+    feature gathers). The gradient side shows as all-reduce here because
+    the CPU pipeline lacks XLA's all-reduce→reduce-scatter rewrite; on TPU
+    GSPMD emits reduce-scatter for the dp-sharded grad outputs."""
+    import collections
+    import re
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh(8)
+    batch = shard_batch(_make_batch(cfg, seed=8), mesh)
+
+    def counts(step, state):
+        txt = step.lower(state, batch).compile().as_text()
+        return collections.Counter(
+            re.findall(r"(all-gather|reduce-scatter|all-reduce)\b", txt)
+        )
+
+    state_r = create_train_state(
+        replicate(init_params(jax.random.PRNGKey(0), cfg), mesh), opt
+    )
+    state_r = state_r._replace(opt_state=replicate(state_r.opt_state, mesh))
+    ops_r = counts(make_train_step(cfg, opt, donate=False), state_r)
+
+    state_f, step_f = _fsdp_state_and_step(cfg, opt, mesh, min_size=64)
+    ops_f = counts(step_f, state_f)
+
+    assert ops_f["all-gather"] > ops_r["all-gather"], (
+        f"FSDP step has no extra weight gathers: {dict(ops_f)} "
+        f"vs replicated {dict(ops_r)}"
+    )
+
+
 def test_fsdp_shardings_compose_with_tp():
     """On a (dp x tp) mesh a tp-sharded param keeps its tp dim and gains dp
     on another dim."""
