@@ -197,7 +197,26 @@ def make_multi_step(
     each metric comes back stacked [K]).
     """
     donate = step_kwargs.pop("donate", True)
+    state_shardings = step_kwargs.get("state_shardings")
     step_fn = _build_step_fn(cfg, optimizer, **step_kwargs)
+
+    def _pin(state: TrainState) -> TrainState:
+        # GSPMD does not reliably honor the per-step constraint inside a
+        # while-loop body: without pinning the carry at the scan boundary it
+        # re-lays-out the whole state (measured: replicated params came back
+        # dp-sharded), which churns layouts and recompiles the next dispatch.
+        if state_shardings is None:
+            return state
+        # only params/opt_state: `step` is a scalar whose sharding template
+        # may be single-device (same split _apply_update makes)
+        return state._replace(
+            params=jax.lax.with_sharding_constraint(
+                state.params, state_shardings.params
+            ),
+            opt_state=jax.lax.with_sharding_constraint(
+                state.opt_state, state_shardings.opt_state
+            ),
+        )
 
     def many(state: TrainState, batches):
         if batches is None:
@@ -209,13 +228,15 @@ def make_multi_step(
             return step_fn(s, b)
 
         xs = batches if stacked else None
-        return jax.lax.scan(body, state, xs, length=num_steps)
+        final, ys = jax.lax.scan(body, _pin(state), xs, length=num_steps)
+        return _pin(final), ys
 
     def many_fixed_batch(state: TrainState, batch):
         def body(s, _):
             return step_fn(s, batch)
 
-        return jax.lax.scan(body, state, None, length=num_steps)
+        final, ys = jax.lax.scan(body, _pin(state), None, length=num_steps)
+        return _pin(final), ys
 
     return (
         jax.jit(many, donate_argnums=(0,) if donate else ()),

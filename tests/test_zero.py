@@ -150,6 +150,52 @@ def test_zero_shardings_compose_with_tp():
     assert saw_both, "no moment leaf combines tp and dp sharding"
 
 
+def test_zero_composes_with_grad_accum_and_multi_step():
+    """The state_shardings pin works through BOTH alternate dispatch modes
+    train.py can combine with "zero": gradient accumulation (K microbatches
+    → one optimizer step) and the K-steps-fused lax.scan dispatch. Moments
+    stay dp-sharded across the call in each."""
+    from clip_event_tpu.engine.train_step import make_accum_step, make_multi_step
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+    mesh = make_mesh(8)
+    batch = _make_batch(cfg, seed=9)
+    stacked = jax.tree.map(lambda x: np.stack([x, x]), batch)
+
+    def sharded_moments(state):
+        return sum(
+            DATA_AXIS in _spec_axes(l) for l in jax.tree.leaves(state.opt_state)
+        )
+
+    def fresh_state():
+        state = create_train_state(
+            replicate(init_params(jax.random.PRNGKey(0), cfg), mesh), opt
+        )
+        state = state._replace(
+            opt_state=shard_opt_state_zero(state.opt_state, mesh)
+        )
+        return state, jax.tree.map(lambda x: x.sharding, state)
+
+    state, shardings = fresh_state()
+    n0 = sharded_moments(state)
+    assert n0 > 0
+    accum = make_accum_step(
+        cfg, opt, 2, donate=False, state_shardings=shardings
+    )
+    state, metrics = accum(state, stacked)
+    assert bool(metrics["finite"]) and int(state.step) == 1
+    assert sharded_moments(state) == n0
+
+    state, shardings = fresh_state()
+    multi, _ = make_multi_step(
+        cfg, opt, 2, donate=False, state_shardings=shardings
+    )
+    state, metrics = multi(state, stacked)
+    assert bool(np.asarray(metrics["finite"]).all()) and int(state.step) == 2
+    assert sharded_moments(state) == n0
+
+
 def test_zero_checkpoint_roundtrip(tmp_path):
     """A dp-sharded optimizer state saves and restores to the same values."""
     from clip_event_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
