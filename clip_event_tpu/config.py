@@ -7,6 +7,8 @@ kl↔overbatch, alignment⇒object+IE channels), and defaults for every
 optional key. New TPU-specific keys are additive and default sensibly:
 
   compute_dtype          'float32' | 'bfloat16'      (default bfloat16)
+  moment_dtype           None | 'float32' | 'bfloat16' — optimizer moment
+                         storage (bf16 mu cuts Adam state HBM 25%)
   remat                  bool | 'full'|'dots'|'dots_nobatch'|'attn'  (default true)
   use_pallas_ot          bool | 'auto'               (default auto: fused
                          kernel once node caps ≥ 32, XLA scan below)
@@ -29,6 +31,7 @@ _CHOICES = {
     "lr_scheduler": ("cosineannealinglr", "multisteplr", "warmup", "warmupmultisteplr", "none"),
     "log_level": ("info", "debug"),
     "compute_dtype": ("float32", "bfloat16"),
+    "moment_dtype": ("float32", "bfloat16"),
 }
 
 _REQUIRED = ("task", "constrastive_loss", "batch_size", "lr", "optimizer", "max_epoch")
@@ -96,6 +99,11 @@ _DEFAULTS: Dict[str, Any] = {
     # weight per direction per step; implies sharded moments. No effect on
     # 1 device.
     "fsdp": False,
+    # reduced-precision optimizer moments: 'bfloat16' stores Adam's first
+    # moment / SGD's momentum buffer in bf16 (engine/optim.py) — 25% (Adam)
+    # or 50% (SGD) less optimizer-state HBM; Adam's second moment stays f32.
+    # None/'float32' = full precision (the reference's behavior).
+    "moment_dtype": None,
     "num_workers": 8,
     "prefetch": 2,
     # offline preprocessed-image cache dir (cache_images.py); None = live
@@ -112,6 +120,10 @@ _DEFAULTS: Dict[str, Any] = {
     # (grads K-averaged under lax.scan; peak memory = one microbatch's step).
     # Mutually exclusive with steps_per_dispatch>1.
     "grad_accum_steps": 1,
+    # async checkpoint writes: snapshot to host synchronously, commit to disk
+    # in orbax's background committer — the train loop overlaps the write of
+    # a multi-GB checkpoint with the next steps (engine/checkpoint.py)
+    "async_save": False,
     # step-granular checkpointing: save a rolling mid-epoch checkpoint every
     # N optimizer steps (0 = epoch-granular only, the reference's behavior);
     # resume re-enters the interrupted epoch at the saved batch offset

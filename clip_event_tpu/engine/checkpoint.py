@@ -37,6 +37,29 @@ def _ckpt_path(ckpt_dir: str, task: str, epoch: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), task, f"{task}_{epoch}")
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint write has committed.
+
+    Call before process exit (train.py does) and before reading back a
+    checkpoint this process may have just written asynchronously. A no-op
+    when no async save was ever issued.
+    """
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     ckpt_dir: str,
     task: str,
@@ -46,6 +69,7 @@ def save_checkpoint(
     perf: float = 0.0,
     step: int = 0,
     mid_epoch: bool = False,
+    async_save: bool = False,
 ) -> Optional[str]:
     """Rank-0 save; errors are logged, not raised (engine.py:215-218).
 
@@ -54,7 +78,27 @@ def save_checkpoint(
     (a rolling overwrite — the latest state is what crash recovery wants),
     and resume re-enters epoch `epoch` at batch offset derived from `step`
     instead of starting at `epoch + 1`.
+
+    `async_save=True` returns as soon as the state is snapshotted to host
+    memory and hands the disk write to orbax's async committer — the train
+    loop overlaps the multi-second write of a large checkpoint with the next
+    steps. The device→host snapshot itself stays synchronous (the caller may
+    donate the state buffers into the very next step), so there is no
+    torn-read hazard. `wait_for_saves()` blocks on the commit; issuing
+    another save first also waits. Orbax commits atomically (tmp dir +
+    rename), so a crash mid-write never leaves a path `latest_checkpoint`
+    would pick up.
     """
+    def _start_transfer(x):
+        # enqueue ALL device→host copies before materializing any: the
+        # per-leaf np.asarray below then reads already-arrived buffers
+        # instead of serializing one transfer per leaf
+        if getattr(x, "is_fully_addressable", True) and hasattr(
+            x, "copy_to_host_async"
+        ):
+            x.copy_to_host_async()
+        return x
+
     def _to_host(x):
         # ZeRO-1 moments can be sharded ACROSS processes (train.py "zero");
         # gather those before the rank-0 numpy save. Fully-addressable
@@ -67,6 +111,7 @@ def save_checkpoint(
 
     # the cross-process gather must run on EVERY process (it's a collective);
     # only rank 0 writes the result
+    jax.tree.map(_start_transfer, (params, opt_state))
     host_params = jax.tree.map(_to_host, params)
     host_opt_state = jax.tree.map(_to_host, opt_state)
     if jax.process_index() != 0:
@@ -75,16 +120,17 @@ def save_checkpoint(
 
     path = _ckpt_path(ckpt_dir, task, epoch)
     try:
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(
-                path,
-                {
-                    "params": host_params,
-                    "opt_state": host_opt_state,
-                    "step": np.asarray(int(step), np.int32),
-                },
-                force=True,
-            )
+        tree = {
+            "params": host_params,
+            "opt_state": host_opt_state,
+            "step": np.asarray(int(step), np.int32),
+        }
+        if async_save:
+            ckptr = _async_checkpointer()
+            ckptr.save(path, tree, force=True)
+        else:
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(path, tree, force=True)
         meta = {
             "epoch": epoch,
             "model": task,
@@ -94,7 +140,8 @@ def save_checkpoint(
         }
         with open(path + ".meta.json", "w") as fh:
             json.dump(meta, fh)
-        log.info("=> saved checkpoint to %s", path)
+        log.info("=> %s checkpoint to %s",
+                 "scheduled async save of" if async_save else "saved", path)
         return path
     except Exception:
         log.exception("=> error when saving checkpoint!")
@@ -127,6 +174,7 @@ def restore_checkpoint(
     """
     import orbax.checkpoint as ocp
 
+    wait_for_saves()  # the path may be an async save this process issued
     meta = load_meta(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         template = None

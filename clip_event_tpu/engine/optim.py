@@ -83,22 +83,34 @@ def build_optimizer(
     weight_decay: float = 0.0,
     momentum: float = 0.9,
     grad_clip_norm: Optional[float] = 1.0,
+    moment_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """Adam/SGD with global-norm clipping (reference clips at 1.0,
-    `engine.py:89`). `schedule` may be a float or a step→lr fn."""
+    `engine.py:89`). `schedule` may be a float or a step→lr fn.
+
+    `moment_dtype` (TPU-native addition, no reference counterpart): store
+    Adam's FIRST moment / SGD's momentum buffer in a reduced dtype
+    (`"bfloat16"`), cutting optimizer-state HBM by 25% (Adam) or 50% (SGD).
+    Adam's second moment stays f32 — `rsqrt(nu)` amplifies low-order-bit
+    loss, and nu's dynamic range (squared grads) is exactly where bf16's
+    8-bit mantissa hurts; mu is a smoothed gradient, robust to bf16
+    (the update math still runs in f32 — optax casts mu in/out).
+    """
     parts = []
     if grad_clip_norm is not None:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))
+    mu_dtype = jnp.dtype(moment_dtype) if moment_dtype else None
 
     if name == "adam":
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
-        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, mu_dtype=mu_dtype))
     elif name == "sgd":
         if weight_decay:
             parts.append(optax.add_decayed_weights(weight_decay))
         if momentum:
-            parts.append(optax.trace(decay=momentum, nesterov=False))
+            parts.append(optax.trace(decay=momentum, nesterov=False,
+                                     accumulator_dtype=mu_dtype))
     else:
         raise ValueError(f"invalid optimizer {name!r}")
 

@@ -43,6 +43,10 @@ def test_config_cross_field_constraints():
     with pytest.raises(ConfigError):  # accum and fused dispatch are exclusive
         validate_config({**ce, "grad_accum_steps": 2, "steps_per_dispatch": 3})
     assert validate_config({**ce, "grad_accum_steps": 2})["grad_accum_steps"] == 2
+    with pytest.raises(ConfigError):
+        validate_config({**ce, "moment_dtype": "bf16"})  # must be spelled out
+    assert validate_config({**ce, "moment_dtype": "bfloat16"})["moment_dtype"] == "bfloat16"
+    assert validate_config(ce)["moment_dtype"] is None
 
 
 def test_model_config_presets_and_dict():
@@ -107,6 +111,44 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # typed restore: opt_state must come back with its optax NamedTuple
     # structure intact, not as raw lists/dicts
+    assert jax.tree.structure(opt2) == jax.tree.structure(opt_state)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_save commits in the background; wait_for_saves (called inside
+    restore_checkpoint) makes a same-process read-back safe, including a
+    rolling overwrite of the same path (save_steps semantics)."""
+    from clip_event_tpu.engine.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.models import init_params
+    from tests.test_model_parity import TINY_VIT
+
+    params = init_params(jax.random.PRNGKey(1), TINY_VIT)
+    opt = build_optimizer("adam", build_schedule("none", 1e-4, 2))
+    opt_state = opt.init(params)
+
+    # mid-epoch async save, then the rolling overwrite with bumped step
+    p1 = save_checkpoint(str(tmp_path), "asy", 0, params, opt_state, step=5,
+                         mid_epoch=True, async_save=True)
+    params_b = jax.tree.map(lambda x: x + 1.0, params)
+    p2 = save_checkpoint(str(tmp_path), "asy", 0, params_b, opt_state, step=9,
+                         async_save=True)
+    assert p1 == p2  # same epoch path — rolling overwrite
+    # until the background commit lands, the atomic-rename target may not
+    # exist yet — discovery only sees COMMITTED checkpoints
+    from clip_event_tpu.engine.checkpoint import wait_for_saves
+
+    wait_for_saves()
+    assert latest_checkpoint(str(tmp_path), "asy") == p2
+
+    params2, opt2, meta = restore_checkpoint(p2, params_template=params, optimizer=opt)
+    assert meta["step"] == 9 and meta["mid_epoch"] is False
+    for a, b in zip(jax.tree.leaves(params_b), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert jax.tree.structure(opt2) == jax.tree.structure(opt_state)
 
 
@@ -300,6 +342,58 @@ def test_train_cli_resume(tmp_path):
     assert (tmp_path / "ckpt" / "resume" / "resume_1").exists()
     meta = json.load(open(tmp_path / "ckpt" / "resume" / "resume_1.meta.json"))
     assert meta["epoch"] == 1 and meta["step"] > 0
+
+
+@pytest.mark.slow
+def test_train_cli_async_save_and_bf16_moments(tmp_path):
+    """async_save=true + moment_dtype=bfloat16 through the real CLI: the
+    final async write commits before exit, and a second invocation resumes
+    from the bf16-moment checkpoint (typed restore with reduced-dtype
+    templates)."""
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    base = {
+        "task": "asym",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "moment_dtype": "bfloat16",
+        "async_save": True,
+        "remat": False,
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = tmp_path / "cfg0.json"
+    cfg_path.write_text(json.dumps(base))
+    proc = subprocess.run([sys.executable, "train.py", "--cfg", str(cfg_path)],
+                          capture_output=True, text=True, timeout=600, cwd=cwd, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "scheduled async save" in proc.stderr
+    ckpt0 = tmp_path / "ckpt" / "asym" / "asym_0"
+    assert ckpt0.exists(), "async save did not commit before process exit"
+
+    resume_cfg = dict(base, begin_ckpt=str(ckpt0), max_epoch=2)
+    cfg_path2 = tmp_path / "cfg1.json"
+    cfg_path2.write_text(json.dumps(resume_cfg))
+    proc = subprocess.run([sys.executable, "train.py", "--cfg", str(cfg_path2)],
+                          capture_output=True, text=True, timeout=600, cwd=cwd, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (tmp_path / "ckpt" / "asym" / "asym_1").exists()
 
 
 @pytest.mark.slow

@@ -117,3 +117,61 @@ def test_schedule_traceable_under_jit():
         return s(step)
 
     assert np.isfinite(float(f(jnp.asarray(3))))
+
+
+def test_moment_dtype_bf16_adam():
+    """moment_dtype='bfloat16' stores Adam's mu in bf16 (nu stays f32 — its
+    rsqrt amplifies low-bit loss), the layout survives updates, and the
+    trajectory tracks the f32-moment optimizer closely."""
+    rng = np.random.default_rng(2)
+    w0 = rng.normal(size=(64,)).astype(np.float32)
+    grads = [0.1 * rng.normal(size=(64,)).astype(np.float32) for _ in range(5)]
+
+    def run(moment_dtype):
+        opt = build_optimizer("adam", build_schedule("none", 1e-3, 1),
+                              grad_clip_norm=None, moment_dtype=moment_dtype)
+        params = {"w": jnp.asarray(w0)}
+        state = opt.init(params)
+        for g in grads:
+            updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
+            params = {"w": params["w"] + updates["w"]}
+        return params, state
+
+    params_bf, state_bf = run("bfloat16")
+    params_f32, _ = run(None)
+
+    mus = [l for l in jax.tree.leaves(state_bf) if l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment leaf in the Adam state"
+    # bf16 has ~3 decimal digits; 5 steps of lr=1e-3 updates differ < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(params_bf["w"]), np.asarray(params_f32["w"]), atol=1e-4
+    )
+
+
+def test_moment_dtype_bf16_sgd():
+    opt = build_optimizer("sgd", build_schedule("none", 1e-2, 1), momentum=0.9,
+                          grad_clip_norm=None, moment_dtype="bfloat16")
+    params = {"w": jnp.zeros(8, jnp.float32)}
+    state = opt.init(params)
+    updates, state = opt.update({"w": jnp.ones(8, jnp.float32)}, state, params)
+    assert any(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(state)), \
+        "SGD momentum buffer not stored in bf16"
+    assert updates["w"].dtype == jnp.float32  # update math stays f32
+
+
+def test_moment_dtype_checkpoint_roundtrip(tmp_path):
+    """bf16 moments survive orbax save/restore (the typed restore templates
+    come from optimizer.init, which carries the reduced dtype)."""
+    from clip_event_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+
+    opt = build_optimizer("adam", build_schedule("none", 1e-3, 1),
+                          moment_dtype="bfloat16")
+    params = {"w": jnp.linspace(0, 1, 16, dtype=jnp.float32)}
+    state = opt.init(params)
+    updates, state = opt.update({"w": jnp.ones(16, jnp.float32)}, state, params)
+
+    path = save_checkpoint(str(tmp_path), "mdtype", 0, params, state, step=1)
+    r_params, r_state, meta = restore_checkpoint(path, params, opt)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(r_state)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

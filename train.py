@@ -176,6 +176,7 @@ def main():
         cfg["optimizer"], schedule,
         weight_decay=cfg["weight_decay"], momentum=cfg["momentum"],
         grad_clip_norm=cfg["grad_clip_norm"],
+        moment_dtype=cfg["moment_dtype"],
     )
     compute_dtype = jnp.bfloat16 if cfg["compute_dtype"] == "bfloat16" else jnp.float32
     if cfg["sync_bn"] and not mcfg.is_vit:
@@ -377,6 +378,7 @@ def main():
                 save_checkpoint(
                     ckpt_dir, task, epoch, state.params, state.opt_state,
                     best_perf, step=global_step, mid_epoch=True,
+                    async_save=cfg["async_save"],
                 )
                 log.info("=> step checkpoint at global step %d", global_step)
                 if next_save is not None:
@@ -493,11 +495,15 @@ def main():
 
         save_checkpoint(
             ckpt_dir, task, epoch, state.params, state.opt_state, best_perf,
-            step=int(state.step),
+            step=int(state.step), async_save=cfg["async_save"],
         )
 
     if writer is not None:
         writer.close()
+    # async_save: the last write must commit before the process exits
+    from clip_event_tpu.engine.checkpoint import wait_for_saves
+
+    wait_for_saves()
 
 
 if __name__ == "__main__":
