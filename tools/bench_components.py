@@ -954,8 +954,123 @@ def bench_accum(ks=(2, 4)):
         layers.set_attention_impl("xla")
 
 
+def bench_ckpt():
+    """Checkpoint save cost (ViT-B/32 full f32 state ≈ 1.8 GB): sync write
+    vs async_save's return time, and the real overlap win — K train steps
+    issued while the async commit runs in the background. Host wall-clock
+    timing is correct here: save_checkpoint's device→host snapshot
+    internally syncs, and the train-step overlap run ends in a host fetch."""
+    import shutil
+    import tempfile
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.checkpoint import save_checkpoint, wait_for_saves
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_multi_step
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    layout = build_label_layout(B, 1, D - 1, "ce", True)
+    batch = {
+        "image": _image_inputs(cfg),
+        "text": _text_inputs(cfg),
+        "labels_per_image": layout.labels_per_image,
+        "labels_per_text": layout.labels_per_text,
+        "index_pos": layout.index_pos,
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
+    state = create_train_state(
+        init_params(jax.random.PRNGKey(0), cfg), optimizer
+    )
+    nbytes = sum(l.nbytes for l in jax.tree.leaves((state.params, state.opt_state)))
+    print(f"state size: {nbytes / 1e9:.2f} GB", flush=True)
+
+    layers.set_attention_impl("pallas")
+    tmp = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        _, run_k = make_multi_step(cfg, optimizer, STEPS, loss_type="ce",
+                                   overbatch=True, compute_dtype=jnp.bfloat16,
+                                   remat=True, donate=False)
+        # warm the jit + one save (directory creation, orbax init)
+        _, m = run_k(state, batch)
+        float(m["loss"][-1])
+        save_checkpoint(tmp, "warm", 0, state.params, state.opt_state)
+
+        for mode in ("sync", "async"):
+            t0 = time.perf_counter()
+            save_checkpoint(tmp, mode, 0, state.params, state.opt_state,
+                            async_save=(mode == "async"))
+            t_ret = time.perf_counter() - t0
+            _, m = run_k(state, batch)  # K steps issued behind the save
+            float(m["loss"][-1])
+            wait_for_saves()
+            t_total = time.perf_counter() - t0
+            print(f"{mode + ' save':<28s} return {t_ret * 1e3:8.1f} ms   "
+                  f"save+{STEPS}steps total {t_total * 1e3:8.1f} ms", flush=True)
+    finally:
+        layers.set_attention_impl("xla")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_moments():
+    """moment_dtype='bfloat16' vs f32 moments: optimizer-state bytes and
+    end-to-end step time (the bf16 mu halves one of the two moment reads +
+    writes per step; Adam is elementwise so the effect is pure HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_multi_step
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    layout = build_label_layout(B, 1, D - 1, "ce", True)
+    batch = {
+        "image": _image_inputs(cfg),
+        "text": _text_inputs(cfg),
+        "labels_per_image": layout.labels_per_image,
+        "labels_per_text": layout.labels_per_text,
+        "index_pos": layout.index_pos,
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    layers.set_attention_impl("pallas")
+    try:
+        for mdtype in (None, "bfloat16"):
+            optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30),
+                                        moment_dtype=mdtype)
+            # fresh jitted fn per variant: trace caches don't key on globals
+            _, run_k = make_multi_step(cfg, optimizer, STEPS, loss_type="ce",
+                                       overbatch=True, compute_dtype=jnp.bfloat16,
+                                       remat=True, donate=False)
+            holder = {"state": create_train_state(params, optimizer)}
+            obytes = sum(l.nbytes for l in jax.tree.leaves(holder["state"].opt_state))
+
+            def call(c):
+                s, m = run_k(holder["state"], batch)
+                holder["state"] = s
+                return m["loss"][-1] + c * 0
+
+            dt = _bench_chain(call, STEPS)
+            print(f"{'moments=' + str(mdtype):<28s} opt state {obytes / 1e6:7.1f} MB   "
+                  f"{dt * 1e3:8.2f} ms/step", flush=True)
+    finally:
+        layers.set_attention_impl("xla")
+
+
 EXPERIMENTS = {
     "matmul": bench_matmul,
+    "ckpt": bench_ckpt,
+    "moments": bench_moments,
     "accum": bench_accum,
     "megakernel": bench_megakernel,
     "alignment": bench_alignment,
