@@ -65,6 +65,8 @@ def test_loss_decreases():
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
         assert bool(metrics["finite"])
+        # pre-clip global grad norm is logged every step (training health)
+        assert float(metrics["grad_norm"]) > 0.0
     assert losses[-1] < losses[0]
 
 
