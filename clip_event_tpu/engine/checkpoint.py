@@ -10,7 +10,10 @@ goes through the OpenAI-format converter:
     reference training checkpoint into (params, CLIPConfig),
   * `export_torch_checkpoint` writes a reference-loadable .pth.
 
-Only process 0 writes (reference rank-0 gate); all processes restore.
+Under `jax.distributed`, save and restore are COLLECTIVE calls: every
+process enters together (orbax barriers internally; the ZeRO moment gather
+is an allgather), orbax writes the data once, and only process 0 gets the
+path back (the reference rank-0-save contract, engine.py:202-207).
 """
 
 from __future__ import annotations
@@ -71,7 +74,11 @@ def save_checkpoint(
     mid_epoch: bool = False,
     async_save: bool = False,
 ) -> Optional[str]:
-    """Rank-0 save; errors are logged, not raised (engine.py:215-218).
+    """Save the state; errors are logged, not raised (engine.py:215-218).
+
+    Every process must call this together (the gathers and the orbax save
+    are collective); data is written once (orbax primary host) and the path
+    is returned on process 0 only — the reference's rank-0-save contract.
 
     `mid_epoch=True` marks a step-granular save (config `save_steps` /
     `max_steps`): the checkpoint path is the SAME as the epoch's final save
@@ -109,13 +116,14 @@ def save_checkpoint(
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
-    # the cross-process gather must run on EVERY process (it's a collective);
-    # only rank 0 writes the result
+    # the cross-process gather must run on EVERY process (it's a collective),
+    # and so must the orbax save below: its handler runs multihost barriers
+    # internally, so a rank-0-gated call deadlocks rank 0 against ranks that
+    # never entered (caught by test_two_process_zero_checkpoint_gather).
+    # Orbax's own primary-host logic writes the data exactly once.
     jax.tree.map(_start_transfer, (params, opt_state))
     host_params = jax.tree.map(_to_host, params)
     host_opt_state = jax.tree.map(_to_host, opt_state)
-    if jax.process_index() != 0:
-        return None
     import orbax.checkpoint as ocp
 
     path = _ckpt_path(ckpt_dir, task, epoch)
@@ -131,6 +139,8 @@ def save_checkpoint(
         else:
             with ocp.PyTreeCheckpointer() as ckptr:
                 ckptr.save(path, tree, force=True)
+        if jax.process_index() != 0:
+            return None
         meta = {
             "epoch": epoch,
             "model": task,
@@ -171,6 +181,11 @@ def restore_checkpoint(
     that `optimizer.update` accepts — not the raw lists/dicts a
     template-free restore produces. Always pass them when the opt_state will
     be used to continue training (reference resume: train.py:108-124).
+
+    Under `jax.distributed` this is a COLLECTIVE, like `save_checkpoint`:
+    orbax runs multihost barriers inside restore, so every process must call
+    it together (which is also what resume semantics want — all ranks load
+    the same state). A rank-gated call deadlocks.
     """
     import orbax.checkpoint as ocp
 

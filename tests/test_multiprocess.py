@@ -82,6 +82,69 @@ print(f"EVAL_WORKER_{pid}_OK {json.dumps(sharded)}", flush=True)
 """
 
 
+_ZERO_CKPT_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2 and len(jax.devices()) == 2
+
+from clip_event_tpu.engine.checkpoint import (
+    latest_checkpoint, restore_checkpoint, save_checkpoint,
+)
+from clip_event_tpu.engine.train_step import create_train_state, make_train_step
+from clip_event_tpu.models import init_params
+from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
+from clip_event_tpu.parallel.sharding import shard_opt_state_zero
+from tests.test_model_parity import TINY_VIT
+from tests.test_train_step import _make_batch, _optimizer
+
+cfg = TINY_VIT
+opt = _optimizer()
+mesh = make_mesh(2)  # one device per process: moments shard ACROSS processes
+batch = _make_batch(cfg, seed=7)  # identical on both ranks (seeded)
+params = init_params(jax.random.PRNGKey(0), cfg)
+
+state = create_train_state(replicate(params, mesh), opt)
+state = state._replace(opt_state=shard_opt_state_zero(state.opt_state, mesh, min_size=64))
+shardings = jax.tree.map(lambda x: x.sharding, state)
+step = make_train_step(cfg, opt, donate=False, state_shardings=shardings)
+state, metrics = step(state, shard_batch(batch, mesh))
+assert bool(np.asarray(metrics["finite"]))
+assert any(
+    not getattr(l, "is_fully_addressable", True)
+    for l in jax.tree.leaves(state.opt_state)
+), "no moment leaf is sharded across processes — the gather path is untested"
+
+# every process joins the gather collective; orbax writes the data once
+path = save_checkpoint(out_dir, "mz", 0, state.params, state.opt_state, step=1)
+assert (path is not None) == (pid == 0)  # rank-0-path contract
+# restore is collective too (orbax barriers) — ALL ranks call it, exactly
+# as train.py resume does
+path = latest_checkpoint(out_dir, "mz")
+r_params, r_opt, meta = restore_checkpoint(path, params, opt)
+assert meta["step"] == 1
+# ground truth: the same step on ONE local device with the full batch
+# (dp sharding changes nothing mathematically; moments are smooth in the
+# grads, unlike Adam's sign-amplified param updates)
+step1 = make_train_step(cfg, opt, donate=False)
+state1 = create_train_state(jax.device_put(params), opt)
+state1, _ = step1(state1, jax.device_put(batch))
+for a, b in zip(jax.tree.leaves(state1.opt_state), jax.tree.leaves(r_opt)):
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32),
+        rtol=1e-4, atol=1e-6,
+    )
+from clip_event_tpu.parallel.collectives import comm
+comm.synchronize()
+print(f"ZCKPT_WORKER_{pid}_OK", flush=True)
+"""
+
+
 def _launch_two(code, extra_args, tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -107,6 +170,18 @@ def test_two_process_collectives(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"WORKER_{i}_OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_zero_checkpoint_gather(tmp_path):
+    """ZeRO moments sharded ACROSS processes gather through
+    `process_allgather` inside save_checkpoint; the rank-0 write must match
+    a single-device run of the same step (the multi-host half of the 'zero'
+    checkpoint contract — the CLI e2e only covers single-process meshes)."""
+    outs, procs = _launch_two(_ZERO_CKPT_WORKER, [str(tmp_path)], tmp_path)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"ZCKPT_WORKER_{i}_OK" in out
 
 
 @pytest.mark.slow
