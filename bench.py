@@ -19,6 +19,8 @@ Prints exactly one JSON line.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -54,7 +56,40 @@ STEPS_PER_CALL = 10
 MEASURE_CALLS = 3
 
 
+def _wait_for_backend(attempts: int = 4, probe_timeout: int = 240) -> None:
+    """Fail fast (exit 3) instead of hanging when the TPU is unreachable.
+
+    `jax.devices()` blocks INDEFINITELY when the tunneled axon backend is
+    down (observed: a multi-hour outage 2026-08-18), which would wedge the
+    driver's round-end bench run. Probe the attach in a subprocess with a
+    timeout, retrying across a bounded window in case the outage is
+    transient; on success the main process attaches normally (the probe has
+    exited, so the single-client TPU is free).
+    """
+    probe = "import jax; print(len(jax.devices()))"
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, text=True,
+                timeout=probe_timeout,
+            )
+            if out.returncode == 0:
+                return
+            err = out.stderr.strip().splitlines()[-1:] or ["?"]
+            print(f"# backend probe {i + 1}/{attempts} failed: {err[0]}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe {i + 1}/{attempts} hung >{probe_timeout}s "
+                  "(TPU attach unreachable)", file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(60)
+    print("# TPU backend unavailable after all probes; no measurement taken",
+          file=sys.stderr, flush=True)
+    sys.exit(3)
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
