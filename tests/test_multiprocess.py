@@ -139,6 +139,23 @@ for a, b in zip(jax.tree.leaves(state1.opt_state), jax.tree.leaves(r_opt)):
         np.asarray(a, np.float32), np.asarray(b, np.float32),
         rtol=1e-4, atol=1e-6,
     )
+
+# async save is collective too: every rank's AsyncCheckpointer runs the same
+# background barriers, wait_for_saves() joins them, and the committed file
+# restores on all ranks
+from clip_event_tpu.engine.checkpoint import wait_for_saves
+state, _ = step(state, shard_batch(batch, mesh))
+path = save_checkpoint(out_dir, "mz", 1, state.params, state.opt_state,
+                       step=2, async_save=True)
+assert (path is not None) == (pid == 0)
+wait_for_saves()
+r_params, _r_opt, meta = restore_checkpoint(latest_checkpoint(out_dir, "mz"),
+                                            params, opt)
+assert meta["step"] == 2
+for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(r_params)):
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), rtol=0, atol=0)
+
 from clip_event_tpu.parallel.collectives import comm
 comm.synchronize()
 print(f"ZCKPT_WORKER_{pid}_OK", flush=True)
