@@ -14,7 +14,8 @@ A ground-up rebuild of the capabilities of limanling/clip-event (CVPR 2022
     image-text retrieval (COCO / Flickr30k),
   * a host-overlapped, statically-shaped input pipeline, and
   * pjit/shard_map data-parallel training with sharded in-batch InfoNCE
-    over ICI.
+    over ICI, plus Megatron tensor parallelism, GPipe pipeline
+    parallelism, ZeRO-1/ZeRO-3 state sharding, and gradient accumulation.
 
 The compute path is pure JAX (jit/pjit + Pallas kernels); parameters are
 plain pytrees so checkpoints round-trip through orbax and the OpenAI

@@ -88,6 +88,14 @@ _DEFAULTS: Dict[str, Any] = {
     # transformer weights column/row-sharded (parallel/sharding.py); 1 = dp
     # only. The stretch parallelism for ViT-L/14+ (SURVEY §2.7).
     "tp": 1,
+    # Pipeline parallelism: mesh becomes (dp = devices//pp) × pp, every
+    # transformer stack whose L axis divides pp is layer-sharded over 'pp'
+    # and runs the GPipe microbatch schedule (parallel/pipeline.py); 1 = off.
+    # Mutually exclusive with tp (pick ONE model-sharding axis).
+    "pp": 1,
+    # GPipe microbatches per pipelined stack forward (bubble fraction
+    # (pp-1)/(M+pp-1)); clipped to a divisor of the batch at trace time.
+    "pp_microbatches": 4,
     # ZeRO-1 optimizer-state sharding: partition Adam moments over the dp
     # axis (parallel/sharding.py::zero_opt_shardings). Divides the fp32
     # moment HBM (2× param bytes) by the dp degree at the cost of one
@@ -99,6 +107,17 @@ _DEFAULTS: Dict[str, Any] = {
     # weight per direction per step; implies sharded moments. No effect on
     # 1 device.
     "fsdp": False,
+    # Static text-sequence cap: tokenize descriptions / entity mentions /
+    # bbox label texts to THIS many tokens instead of the model's 77. The
+    # text transformer is causal and pools at EOT, so any text whose
+    # tokenization (SOT + ids + EOT) fits the cap produces the SAME pooled
+    # embedding as the 77-wide layout — compute just drops ~linearly in the
+    # cap (the text tower is ~70% of the train step, PERFORMANCE.md).
+    # Over-long texts truncate-keep-EOT at the cap, the same rule the
+    # reference applies at 77 (`clip.py:194-196`). The loader logs the
+    # fraction of texts that hit the cap so the truncation cost is visible.
+    # 0 = off (full context_length).
+    "context_cap": 0,
     # reduced-precision optimizer moments: 'bfloat16' stores Adam's first
     # moment / SGD's momentum buffer in bf16 (engine/optim.py) — 25% (Adam)
     # or 50% (SGD) less optimizer-state HBM; Adam's second moment stays f32.
@@ -159,6 +178,27 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         raise ConfigError("batch_size must be a positive int")
     if not isinstance(out["tp"], int) or out["tp"] < 1:
         raise ConfigError("tp must be a positive int (1 = data-parallel only)")
+    if not isinstance(out["pp"], int) or out["pp"] < 1:
+        raise ConfigError("pp must be a positive int (1 = no pipeline parallelism)")
+    if out["pp"] > 1 and out["tp"] > 1:
+        raise ConfigError(
+            "pp>1 and tp>1 are mutually exclusive: pick ONE model-sharding "
+            "axis (tp column/row-shards weights, pp layer-shards the stacks)"
+        )
+    if not isinstance(out["pp_microbatches"], int) or out["pp_microbatches"] < 1:
+        raise ConfigError("pp_microbatches must be a positive int")
+    cap = out["context_cap"]
+    if not isinstance(cap, int) or cap < 0:
+        raise ConfigError("context_cap must be an int ≥ 0 (0 = full context)")
+    if cap:
+        mcfg = out.get("model")
+        # "model" may be a preset name (str) — every zoo preset is 77-wide
+        ctx = mcfg.get("context_length", 77) if isinstance(mcfg, dict) else 77
+        if not 2 <= cap <= ctx:
+            raise ConfigError(
+                f"context_cap must be in [2, context_length={ctx}] "
+                "(SOT + EOT need two slots)"
+            )
     if not isinstance(out["zero"], bool):
         raise ConfigError("zero must be a bool (ZeRO-1 moment sharding)")
     if not isinstance(out["fsdp"], bool):

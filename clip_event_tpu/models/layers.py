@@ -260,6 +260,30 @@ def set_scan_unroll(unroll) -> None:
     _SCAN_UNROLL = unroll
 
 
+# Pipeline-parallel context: (mesh with a 'pp' axis, microbatch count).
+# Set by train.py when config "pp" > 1; `transformer` then runs the stacked
+# layers through the GPipe schedule in `parallel.pipeline` for every stack
+# whose L axis divides pp (others fall back to the plain scan — their
+# params replicate over pp by `pipeline_param_shardings`' same rule).
+_PIPELINE = None
+
+
+def set_pipeline(mesh=None, microbatches: int = 4) -> None:
+    """Enable (mesh with a 'pp' axis) or disable (None) pipeline parallelism.
+
+    Like `set_attention_impl`, call BEFORE tracing the step — jit caches the
+    traced choice."""
+    global _PIPELINE
+    if mesh is None:
+        _PIPELINE = None
+        return
+    from clip_event_tpu.parallel.pipeline import PIPE_AXIS
+
+    if PIPE_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh has no '{PIPE_AXIS}' axis: {mesh.axis_names}")
+    _PIPELINE = (mesh, int(microbatches))
+
+
 # remat mode → jax.checkpoint policy. True/'full' recomputes everything
 # (minimum memory); 'dots' saves every matmul output (no matmul recompute,
 # max memory); 'dots_nobatch' excludes the batched attention einsums;
@@ -291,7 +315,44 @@ def transformer(
 
     The attention impl is resolved HERE (global default) and passed down as a
     static argument so `jax.checkpoint`'s jaxpr cache is keyed on it.
+
+    Under an active pipeline context (`set_pipeline`) the stack instead runs
+    the GPipe schedule over the 'pp' mesh axis whenever the L axis divides
+    the pp degree (`parallel.pipeline.pipelined_transformer`).
     """
+    if impl is None:
+        impl = _resolve_impl()
+    if unroll is None:
+        unroll = _SCAN_UNROLL
+    if _PIPELINE is not None and x.ndim == 3:
+        mesh, microbatches = _PIPELINE
+        pp = dict(mesh.shape).get("pp", 1)
+        n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+        if pp > 1 and n_layers % pp == 0:
+            from clip_event_tpu.parallel.pipeline import pipelined_transformer
+
+            return pipelined_transformer(
+                x, stacked_params, num_heads, attn_bias, mesh,
+                microbatches=microbatches, remat=remat, unroll=unroll,
+                impl=impl,
+            )
+    return _scan_transformer(
+        x, stacked_params, num_heads, attn_bias,
+        remat=remat, unroll=unroll, impl=impl,
+    )
+
+
+def _scan_transformer(
+    x: jnp.ndarray,
+    stacked_params: dict,
+    num_heads: int,
+    attn_bias: Optional[jnp.ndarray] = None,
+    remat=False,
+    unroll=None,
+    impl=None,
+) -> jnp.ndarray:
+    """The plain stacked-layer scan (no pipeline dispatch) — also the
+    per-stage body `parallel.pipeline` runs on each device's local layers."""
     if impl is None:
         impl = _resolve_impl()
     if unroll is None:

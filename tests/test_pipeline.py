@@ -1,0 +1,303 @@
+"""Pipeline-parallel (GPipe over 'pp') tests on the virtual 8-device mesh.
+
+The reference has no pipeline parallelism (SURVEY §2.7: DDP only); these
+tests prove the TPU-native addition — `parallel/pipeline.py` layer-sharding
++ microbatched shard_map schedule — is EXACTLY equivalent to the plain
+stacked-scan execution, forward and backward, standalone and through the
+full train step.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from clip_event_tpu.engine.train_step import loss_fn  # noqa: E402
+from clip_event_tpu.models import init_params  # noqa: E402
+from clip_event_tpu.models import layers as L  # noqa: E402
+from clip_event_tpu.parallel.pipeline import (  # noqa: E402
+    make_mesh_pp,
+    pipeline_param_shardings,
+    pipelined_transformer,
+    shard_params_pp,
+)
+from tests.test_model_parity import TINY_VIT  # noqa: E402
+from tests.test_train_step import _make_batch  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _no_leftover_pipeline():
+    yield
+    L.set_pipeline(None)
+
+
+def test_mesh_pp_shape():
+    mesh = make_mesh_pp(pp=4, dp=2)
+    assert mesh.shape == {"dp": 2, "pp": 4}
+    assert make_mesh_pp(pp=2).shape == {"dp": 4, "pp": 2}
+
+
+def test_pipeline_param_shardings_rules():
+    params = init_params(jax.random.PRNGKey(0), TINY_VIT)
+    mesh = make_mesh_pp(pp=2, dp=4)
+    sh = pipeline_param_shardings(params, mesh)
+    # both 2-layer stacks divide pp=2 → layer-sharded on dim 0
+    assert sh["text_transformer"]["attn"]["qkv_w"].spec == P("pp")
+    assert sh["visual"]["transformer"]["mlp"]["fc_w"].spec == P("pp")
+    # embeddings / finals / projections replicate
+    assert sh["token_embedding"].spec == P()
+    assert sh["ln_final"]["scale"].spec == P()
+    assert sh["visual"]["proj"].spec == P()
+
+    # a pp degree that does not divide L (4 ∤ 2) leaves the stack replicated
+    mesh4 = make_mesh_pp(pp=4, dp=2)
+    sh4 = pipeline_param_shardings(params, mesh4)
+    assert sh4["text_transformer"]["attn"]["qkv_w"].spec == P()
+
+
+@pytest.mark.parametrize("microbatches", [1, 3, 4, 16])
+@pytest.mark.parametrize("remat", [False, True])
+def test_pipelined_transformer_matches_plain(microbatches, remat):
+    LAYERS, W, H, S, B = 8, 64, 2, 16, 12
+    params = L.init_transformer(jax.random.PRNGKey(0), LAYERS, W)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, W), jnp.float32)
+    bias = L.causal_mask(S)
+
+    ref = jax.jit(lambda x, p: L.transformer(x, p, H, bias))(x, params)
+
+    mesh = make_mesh_pp(pp=4, dp=2)
+    pparams = shard_params_pp(params, mesh)
+    xd = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    out = jax.jit(
+        lambda x, p: pipelined_transformer(
+            x, p, H, bias, mesh, microbatches=microbatches, remat=remat
+        )
+    )(xd, pparams)
+    # same layer math in the same order per microbatch → bitwise equal
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pipeline_grads_match_plain():
+    LAYERS, W, H, S, B = 4, 64, 2, 16, 8
+    params = L.init_transformer(jax.random.PRNGKey(2), LAYERS, W)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, S, W), jnp.float32)
+    bias = L.causal_mask(S)
+    mesh = make_mesh_pp(pp=4, dp=2)
+
+    def loss_ref(p, x):
+        return jnp.sum(jnp.tanh(L.transformer(x, p, H, bias, remat=True)))
+
+    def loss_pp(p, x):
+        return jnp.sum(
+            jnp.tanh(
+                pipelined_transformer(
+                    x, p, H, bias, mesh, microbatches=2, remat=True
+                )
+            )
+        )
+
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(params, x)
+    g_pp = jax.jit(jax.grad(loss_pp, argnums=(0, 1)))(
+        shard_params_pp(params, mesh),
+        jax.device_put(x, NamedSharding(mesh, P("dp"))),
+    )
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_pp_train_step_matches_replicated():
+    """The FULL loss_fn gradient under an active pipeline context (both
+    towers pipelined over pp=2, batch sharded over dp=4) equals plain
+    execution — the global-dispatch path train.py uses."""
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    batch = _make_batch(cfg, seed=1)
+
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda p, b: loss_fn(p, b, cfg, "ce", True, False, False, jnp.float32)[0]
+        )
+    )
+    loss_ref, grads_ref = grad_fn(params, batch)
+
+    mesh = make_mesh_pp(pp=2, dp=4)
+    L.set_pipeline(mesh, microbatches=2)
+    try:
+        params_pp = shard_params_pp(params, mesh)
+        batch_pp = {
+            k: jax.device_put(
+                np.asarray(v),
+                NamedSharding(
+                    mesh,
+                    P("dp")
+                    if np.asarray(v).ndim and np.asarray(v).shape[0] % 4 == 0
+                    else P(),
+                ),
+            )
+            for k, v in batch.items()
+        }
+        loss_pp, grads_pp = grad_fn(params_pp, batch_pp)
+    finally:
+        L.set_pipeline(None)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_pp), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+def test_pp_nondividing_stack_falls_back():
+    """With pp=4 over 2-layer stacks the dispatch must fall back to the plain
+    scan (params replicated) and still be exact — no silent wrong answer."""
+    cfg = TINY_VIT
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    batch = _make_batch(cfg, seed=4)
+    fn = jax.jit(
+        lambda p, b: loss_fn(p, b, cfg, "ce", True, False, False, jnp.float32)[0]
+    )
+    ref = float(fn(params, batch))
+    mesh = make_mesh_pp(pp=4, dp=2)
+    L.set_pipeline(mesh, microbatches=2)
+    try:
+        out = float(fn(shard_params_pp(params, mesh), batch))
+    finally:
+        L.set_pipeline(None)
+    np.testing.assert_allclose(ref, out, rtol=1e-6)
+
+
+def test_pp_checkpoint_save_restore_reshard_step(tmp_path):
+    """pp-sharded params → orbax save → restore → re-shard → step continues
+    exactly like the uninterrupted pipelined run (mirrors the tp test)."""
+    from clip_event_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_train_step
+
+    cfg = TINY_VIT
+    mesh = make_mesh_pp(pp=2, dp=4)
+    opt = build_optimizer("adam", build_schedule("none", 1e-3, 2))
+    batches = [_make_batch(cfg, seed=s) for s in (20, 21)]
+
+    L.set_pipeline(mesh, microbatches=2)
+    try:
+        step = make_train_step(cfg, opt, loss_type="ce", overbatch=True,
+                               donate=False, remat=False)
+        params0 = shard_params_pp(init_params(jax.random.PRNGKey(3), cfg), mesh)
+        state = create_train_state(params0, opt)
+        state, _ = step(state, batches[0])
+        ref_state, _ = step(state, batches[1])
+
+        path = save_checkpoint(str(tmp_path), "pp", 0, state.params,
+                               state.opt_state, step=int(state.step))
+        template = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(3), cfg))
+        params, opt_state, meta = restore_checkpoint(
+            path, params_template=template, optimizer=opt
+        )
+        params = shard_params_pp(params, mesh)
+        opt_template = opt.init(params)
+
+        def _reshard(t, x):
+            s = getattr(t, "sharding", None)
+            if not (isinstance(s, NamedSharding) and s.mesh == mesh):
+                s = NamedSharding(mesh, P())
+            return jax.device_put(np.asarray(x), s)
+
+        opt_state = jax.tree.map(_reshard, opt_template, opt_state)
+        resumed = create_train_state(params, opt)._replace(
+            opt_state=opt_state, step=jnp.asarray(meta["step"], jnp.int32)
+        )
+        resumed, _ = step(resumed, batches[1])
+    finally:
+        L.set_pipeline(None)
+
+    assert int(resumed.step) == int(ref_state.step) == 2
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_config_rejects_pp_tp_combo():
+    from clip_event_tpu.config import ConfigError, validate_config
+
+    base = {
+        "task": "t", "constrastive_loss": "ce", "batch_size": 4,
+        "lr": 1e-4, "optimizer": "adam", "max_epoch": 1,
+    }
+    out = validate_config(dict(base, pp=2))
+    assert out["pp"] == 2 and out["pp_microbatches"] == 4
+    with pytest.raises(ConfigError):
+        validate_config(dict(base, pp=2, tp=2))
+    with pytest.raises(ConfigError):
+        validate_config(dict(base, pp=0))
+
+
+@pytest.mark.slow
+def test_train_cli_pp_end_to_end(tmp_path):
+    """`train.py --cfg` with pp=2: the (dp=4 × pp=2) mesh trains a tiny model
+    end-to-end (GPipe layer sharding), checkpoints, then a second invocation
+    RESUMES from the pp checkpoint (train.py's sharded resume branch)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from tests.fixtures import make_voa_fixture
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "ppsmoke",
+        "constrastive_loss": "ce",
+        "constrastive_overbatch": True,
+        "alignment": False,
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "load_object": False,
+        "load_ie": False,
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "is_train": True,
+        "begin_epoch": 0,
+        "max_epoch": 1,
+        "batch_size": 4,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "weight_decay": 0.0,
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "pp": 2,
+        "pp_microbatches": 2,
+        "use_pallas_attention": False,
+        "num_workers": 2,
+        "validate_every": 0,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64,
+            "transformer_heads": 2, "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "mesh: dp=4 x pp=2" in proc.stderr + proc.stdout
+    ckpt0 = tmp_path / "ckpt" / "ppsmoke" / "ppsmoke_0"
+    assert ckpt0.exists()
+
+    resume_cfg = dict(cfg, begin_ckpt=str(ckpt0), max_epoch=2)
+    cfg_path2 = tmp_path / "cfg2.json"
+    cfg_path2.write_text(json.dumps(resume_cfg))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path2)],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (tmp_path / "ckpt" / "ppsmoke" / "ppsmoke_1").exists()

@@ -139,6 +139,7 @@ def main():
         contrastive_loss=cfg["constrastive_loss"],
         overbatch=cfg["constrastive_overbatch"],
         image_size=mcfg.image_resolution,
+        context_cap=cfg["context_cap"],
     )
     loader = DataLoader(
         dataset,
@@ -213,6 +214,7 @@ def main():
         log.info("=> restored params/opt_state (step %d)", resume_step)
 
     tp = int(cfg["tp"])
+    pp = int(cfg["pp"])
     if tp > 1:
         from clip_event_tpu.parallel.sharding import make_mesh_2d, shard_params
 
@@ -223,6 +225,18 @@ def main():
         mesh = make_mesh_2d(tp=tp)
         log.info("mesh: dp=%d x tp=%d (Megatron weight sharding)",
                  mesh.devices.shape[0], tp)
+    elif pp > 1:
+        from clip_event_tpu.models.layers import set_pipeline
+        from clip_event_tpu.parallel.pipeline import make_mesh_pp
+
+        if jax.device_count() % pp:
+            raise SystemExit(
+                f"pp={pp} does not divide device count {jax.device_count()}"
+            )
+        mesh = make_mesh_pp(pp=pp)
+        set_pipeline(mesh, microbatches=int(cfg["pp_microbatches"]))
+        log.info("mesh: dp=%d x pp=%d (GPipe layer sharding, M=%d)",
+                 mesh.devices.shape[0], pp, int(cfg["pp_microbatches"]))
     else:
         mesh = make_mesh()
     if cfg["use_pallas_attention"]:
@@ -237,11 +251,16 @@ def main():
         # column/row-sharded transformer weights; optax moments inherit the
         # param shardings through optimizer.init
         state = create_train_state(shard_params(params, mesh), optimizer)
+    elif pp > 1:
+        # layer-sharded transformer stacks; moments inherit through init
+        from clip_event_tpu.parallel.pipeline import shard_params_pp
+
+        state = create_train_state(shard_params_pp(params, mesh), optimizer)
     else:
         state = create_train_state(replicate(params, mesh), optimizer)
         state = state._replace(opt_state=replicate(state.opt_state, mesh))
     if resume_opt_state is not None:
-        if tp > 1:
+        if tp > 1 or pp > 1:
             import numpy as np
             from jax.sharding import NamedSharding, PartitionSpec as P
 
