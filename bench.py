@@ -120,7 +120,13 @@ def main():
     D = NUM_POS + NUM_NEG
     rng = np.random.default_rng(0)
     layout = build_label_layout(B, NUM_POS, NUM_NEG, "ce", True)
-    text = rng.integers(1, 49000, size=(B * D, cfg.context_length)).astype(np.int32)
+    # BENCH_CONTEXT_CAP=S runs the text tower at S tokens instead of 77 (the
+    # "context_cap" config key — exact for texts that fit; see
+    # models/clip.py::encode_text). The headline number stays at the
+    # reference's 77-token workload shape; the capped row is reported in
+    # PERFORMANCE.md as the deployment-config win.
+    seq = int(os.environ.get("BENCH_CONTEXT_CAP", 0)) or cfg.context_length
+    text = rng.integers(1, 49000, size=(B * D, seq)).astype(np.int32)
     text[:, -1] = cfg.vocab_size - 1
     batch = {
         "image": rng.normal(

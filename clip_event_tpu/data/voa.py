@@ -138,12 +138,17 @@ class VOADescriptionDataset(ExampleDataset):
         contrastive_loss: str = "ce",
         overbatch: bool = True,
         image_size: int = 224,
+        # static text-sequence cap (config "context_cap"): tokenize every
+        # text channel to this width instead of 77 — exact for texts that
+        # fit (causal transformer + EOT pooling), truncate-keep-EOT beyond.
+        context_cap: int = 0,
     ):
         self.image_size = image_size
         self.contrastive_loss = contrastive_loss
         self.overbatch = overbatch
         self.load_sr = load_sr
         self.max_bboxes = max_bboxes
+        self.context = int(context_cap) or CONTEXT_LENGTH
 
         with open(posneg_descriptions_json) as fh:
             descriptions = json.load(fh)
@@ -168,6 +173,23 @@ class VOADescriptionDataset(ExampleDataset):
             "Loaded %d instances (%d descriptions each) from %s",
             len(self.data), self.num_desc, image_caption_jsons,
         )
+        if self.context < CONTEXT_LENGTH:
+            # make the truncation cost of the cap visible: the fraction of
+            # sampled descriptions whose full-width EOT lands past the cap
+            sample = [
+                t
+                for rec in self.data[:256]
+                for t in list(rec["pos"]) + list(rec["neg_event"]) + list(rec["neg_argument"])
+            ]
+            eot = np.argmax(tokenize(sample), axis=-1)
+            frac = float(np.mean(eot >= self.context))
+            msg = (
+                "context_cap=%d: %.1f%% of %d sampled descriptions exceed the "
+                "cap (truncate-keep-EOT applies to those)"
+            )
+            (log.warning if frac > 0.05 else log.info)(
+                msg, self.context, 100.0 * frac, len(sample)
+            )
 
         self.load_object = load_object
         if load_object or load_sr:
@@ -192,7 +214,7 @@ class VOADescriptionDataset(ExampleDataset):
         path = os.path.join(inst["image_dir"], image_id + ".jpg")
 
         texts = list(inst["pos"]) + list(inst["neg_event"]) + list(inst["neg_argument"])
-        tensors = {"text": tokenize(texts)}
+        tensors = {"text": tokenize(texts, self.context)}
         meta = {"image_id": image_id, "descriptions": texts}
 
         if self.load_object:
@@ -221,12 +243,13 @@ class VOADescriptionDataset(ExampleDataset):
         if self.load_ie:
             ent_names = doc_entity_names(self.ie, image_id)[: self.max_entities]
             evt_names = doc_event_names(self.ie, image_id)[: self.max_events]
-            ent_tok = tokenize(ent_names) if ent_names else np.zeros((0, CONTEXT_LENGTH), np.int32)
-            evt_tok = tokenize(evt_names) if evt_names else np.zeros((0, CONTEXT_LENGTH), np.int32)
+            C = self.context
+            ent_tok = tokenize(ent_names, C) if ent_names else np.zeros((0, C), np.int32)
+            evt_tok = tokenize(evt_names, C) if evt_names else np.zeros((0, C), np.int32)
             tensors["entity_text"] = pad_stack(list(ent_tok), self.max_entities,
-                                               pad_shape=(CONTEXT_LENGTH,)).astype(np.int32)
+                                               pad_shape=(C,)).astype(np.int32)
             tensors["event_text"] = pad_stack(list(evt_tok), self.max_events,
-                                              pad_shape=(CONTEXT_LENGTH,)).astype(np.int32)
+                                              pad_shape=(C,)).astype(np.int32)
             ent_mask = np.zeros(self.max_entities, np.int32)
             ent_mask[: len(ent_names)] = 1
             evt_mask = np.zeros(self.max_events, np.int32)
@@ -247,8 +270,8 @@ class VOADescriptionDataset(ExampleDataset):
         R = self.max_bboxes
         bboxes = np.zeros((R, 4), np.float32)
         mask = np.zeros(R, np.int32)
-        desc_tok = np.zeros((R, CONTEXT_LENGTH), np.int32)
-        label_tok = np.zeros((R, CONTEXT_LENGTH), np.int32)
+        desc_tok = np.zeros((R, self.context), np.int32)
+        label_tok = np.zeros((R, self.context), np.int32)
 
         dets = [
             d for d in sorted(
@@ -269,8 +292,10 @@ class VOADescriptionDataset(ExampleDataset):
             labels = [self.object_labels[d["label"]] for d in dets]
             bboxes[: len(dets)] = np.asarray(boxes, np.float32)
             mask[: len(dets)] = 1
-            desc_tok[: len(dets)] = tokenize([f"An image of {l.lower()}." for l in labels])
-            label_tok[: len(dets)] = tokenize([l.lower() for l in labels])
+            desc_tok[: len(dets)] = tokenize(
+                [f"An image of {l.lower()}." for l in labels], self.context
+            )
+            label_tok[: len(dets)] = tokenize([l.lower() for l in labels], self.context)
         return {
             "bbox": bboxes,
             "bbox_mask": mask,

@@ -143,10 +143,20 @@ def encode_text(
     compute_dtype=jnp.float32,
     remat: bool = False,
 ) -> jnp.ndarray:
-    """[B, context] int tokens → [B, E]; EOT pooling via argmax token id."""
+    """[B, S] int tokens → [B, E]; EOT pooling via argmax token id.
+
+    S may be any length ≤ cfg.context_length (the positional embedding and
+    causal mask are sliced/built to the tokens' actual width): because the
+    transformer is causal and padding after EOT is zeros, the EOT-pooled
+    output for a caption whose tokens fit in S is identical to running the
+    full 77-token layout — so a static `context_cap` (config key) cuts the
+    text tower's compute proportionally with NO semantic change for texts
+    that fit (over-long ones truncate-keep-EOT at the cap, the same rule the
+    reference applies at 77 — `clip.py:194-196`)."""
+    seq = tokens.shape[-1]
     x = params["token_embedding"][tokens].astype(compute_dtype)
-    x = x + params["positional_embedding"].astype(compute_dtype)
-    bias = L.causal_mask(cfg.context_length)
+    x = x + params["positional_embedding"][:seq].astype(compute_dtype)
+    bias = L.causal_mask(seq)
     x = L.transformer(x, params["text_transformer"], cfg.transformer_heads, bias, remat=remat)
     x = L.layer_norm(x, params["ln_final"])
     eot_idx = jnp.argmax(tokens, axis=-1)
@@ -160,9 +170,10 @@ def text_act_stats(
     """Dense-input abs-max stats for the text tower (static int8 activation
     calibration, `ops/quant.py`): mirrors `encode_text` and returns
     {"text_transformer": {...[L]...}, "text_projection"}."""
+    seq = tokens.shape[-1]
     x = params["token_embedding"][tokens].astype(compute_dtype)
-    x = x + params["positional_embedding"].astype(compute_dtype)
-    bias = L.causal_mask(cfg.context_length)
+    x = x + params["positional_embedding"][:seq].astype(compute_dtype)
+    bias = L.causal_mask(seq)
     x, tstats = L.transformer_with_act_stats(
         x, params["text_transformer"], cfg.transformer_heads, bias
     )
