@@ -922,3 +922,91 @@ def test_train_cli_save_steps_rolling(tmp_path):
     # final meta is the end-of-epoch save (mid_epoch False, step 3)
     meta = json.load(open(tmp_path / "ckpt" / "rolling" / "rolling_0.meta.json"))
     assert meta["step"] == 3 and meta["mid_epoch"] is False
+
+
+@pytest.mark.slow
+def test_train_cli_sigterm_preemption_checkpoint(tmp_path):
+    """Preemption handling: SIGTERM (what a TPU maintenance event delivers)
+    makes the run write a mid-epoch checkpoint at the next step boundary and
+    exit cleanly (code 0); a second invocation resumes from it.
+
+    The handler only sets a flag — the save is collective — so this also
+    proves training survives a signal landing at an arbitrary point in the
+    dispatch loop."""
+    import signal
+    import time
+
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "preempt",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        # never finishes naturally inside the test timeout
+        "max_epoch": 500,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=cwd, env=env,
+    )
+    try:
+        # wait until epoch 0 has finished (first end-of-epoch meta exists) so
+        # the signal lands mid-training, well past handler registration
+        meta0 = tmp_path / "ckpt" / "preempt" / "preempt_0.meta.json"
+        deadline = time.time() + 240
+        while not meta0.exists():
+            assert proc.poll() is None, proc.communicate()[1][-3000:]
+            assert time.time() < deadline, "epoch 0 never finished"
+            time.sleep(0.5)
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, err[-3000:]
+    assert "SIGTERM: checkpointing at the next step boundary" in err + out
+    assert "preemption checkpoint written" in err + out
+
+    # the latest checkpoint is the preemption save: mid_epoch, step > 0
+    ckpts = sorted(
+        (f for f in os.listdir(tmp_path / "ckpt" / "preempt")
+         if f.endswith(".meta.json")),
+        key=lambda f: int(f.split("_")[1].split(".")[0]),
+    )
+    meta = json.load(open(tmp_path / "ckpt" / "preempt" / ckpts[-1]))
+    assert meta["mid_epoch"] is True and meta["step"] > 0
+    ckpt = str(tmp_path / "ckpt" / "preempt" / ckpts[-1][: -len(".meta.json")])
+
+    # resume from the preemption checkpoint: one more step, clean exit
+    resume_cfg = dict(cfg, begin_ckpt=ckpt, max_steps=meta["step"] + 1)
+    cfg2 = tmp_path / "cfg2.json"
+    cfg2.write_text(json.dumps(resume_cfg))
+    r = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg2)],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    meta2 = json.load(open(ckpt + ".meta.json"))
+    assert meta2["step"] == meta["step"] + 1

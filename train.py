@@ -359,6 +359,26 @@ def main():
     max_steps = max(int(cfg["max_steps"]), 0)
     next_save = ((global_step // save_steps) + 1) * save_steps if save_steps else None
     stop_training = False
+
+    # Preemption handling: TPU maintenance events deliver SIGTERM (to every
+    # host of a slice) with a grace window. The handler only sets a flag —
+    # the save happens at the next optimizer-step boundary in step_hooks,
+    # because the checkpoint write is COLLECTIVE under jax.distributed
+    # (engine/checkpoint.py) and must be entered by all processes at the
+    # same step. Resume re-enters the epoch at the saved batch offset (the
+    # mid_epoch path above). The reference has no counterpart (its recovery
+    # model is crash-and-restart from the last epoch, SURVEY §5).
+    preempted = {"flag": False}
+    if cfg["is_train"]:
+        import signal
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+            log.warning(
+                "=> SIGTERM: checkpointing at the next step boundary, then exiting"
+            )
+
+        signal.signal(signal.SIGTERM, _on_sigterm)
     for epoch in range(begin_epoch, cfg["max_epoch"]):
         log.info("=> Epoch[%d]: train start", epoch)
         loader.set_epoch(
@@ -389,15 +409,18 @@ def main():
             pending = []
 
         def step_hooks() -> bool:
-            """save_steps / max_steps checks; returns True to stop the run."""
+            """save_steps / max_steps / preemption checks; True = stop."""
             nonlocal next_save, stop_training
             hit_max = bool(max_steps) and global_step >= max_steps
-            if (next_save is not None and global_step >= next_save) or hit_max:
+            hit_term = preempted["flag"]
+            if (next_save is not None and global_step >= next_save) or hit_max or hit_term:
                 drain()
                 save_checkpoint(
                     ckpt_dir, task, epoch, state.params, state.opt_state,
                     best_perf, step=global_step, mid_epoch=True,
-                    async_save=cfg["async_save"],
+                    # a preempting scheduler may not honor the grace window —
+                    # write synchronously so the ckpt is durable before exit
+                    async_save=cfg["async_save"] and not hit_term,
                 )
                 log.info("=> step checkpoint at global step %d", global_step)
                 if next_save is not None:
@@ -405,6 +428,9 @@ def main():
                         next_save += save_steps
             if hit_max:
                 log.info("=> max_steps=%d reached, stopping", max_steps)
+                stop_training = True
+            if hit_term:
+                log.warning("=> preemption checkpoint written, stopping")
                 stop_training = True
             return stop_training
 
