@@ -96,6 +96,14 @@ _DEFAULTS: Dict[str, Any] = {
     # GPipe microbatches per pipelined stack forward (bubble fraction
     # (pp-1)/(M+pp-1)); clipped to a divisor of the batch at trace time.
     "pp_microbatches": 4,
+    # Multi-slice data parallelism: number of DCN-connected slices. >1
+    # prepends a 'dcn' mesh axis outside dp (and tp), so the batch shards
+    # over dcn×dp and the gradient reduction decomposes hierarchically —
+    # reduce-scatter/all-gather over ICI inside each slice, only per-slice
+    # partials over the slow DCN links (parallel/mesh.py::make_mesh).
+    # ZeRO/FSDP sharding stays on the intra-slice dp axis by design (their
+    # per-step weight/update gathers must ride ICI). 1 = single slice.
+    "dcn_dp": 1,
     # ZeRO-1 optimizer-state sharding: partition Adam moments over the dp
     # axis (parallel/sharding.py::zero_opt_shardings). Divides the fp32
     # moment HBM (2× param bytes) by the dp degree at the cost of one
@@ -187,6 +195,14 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         )
     if not isinstance(out["pp_microbatches"], int) or out["pp_microbatches"] < 1:
         raise ConfigError("pp_microbatches must be a positive int")
+    if not isinstance(out["dcn_dp"], int) or out["dcn_dp"] < 1:
+        raise ConfigError("dcn_dp must be a positive int (1 = single slice)")
+    if out["dcn_dp"] > 1 and out["pp"] > 1:
+        raise ConfigError(
+            "dcn_dp>1 with pp>1 is not supported: the GPipe ppermute "
+            "schedule would rotate activations over DCN every microbatch — "
+            "keep pipeline stages inside one slice"
+        )
     cap = out["context_cap"]
     if not isinstance(cap, int) or cap < 0:
         raise ConfigError("context_cap must be an int ≥ 0 (0 = full context)")

@@ -143,10 +143,9 @@ def multi_head_attention(
             fused_attention_qkv_headgrid,
             sharded_attention_tp,
         )
-        from clip_event_tpu.parallel.mesh import DATA_AXIS
+        from clip_event_tpu.parallel.mesh import DATA_AXIS, data_axes, data_size
 
-        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
-        dp = shape.get(DATA_AXIS, 0)
+        dp = data_size(mesh) if DATA_AXIS in mesh.axis_names else 0
         wl, hl = W // tp, num_heads // tp
         kernel_fn = None
         if W % tp == 0 and num_heads % tp == 0 and dp > 0 and B % dp == 0:
@@ -157,9 +156,10 @@ def multi_head_attention(
         if kernel_fn is None:
             kind = "xla"
         else:
+            axes = data_axes(mesh)
             out = sharded_attention_tp(
                 kernel_fn, qkv, attn_bias, num_heads, scale, mesh,
-                DATA_AXIS, "tp",
+                axes if len(axes) > 1 else axes[0], "tp",
             )
             out = checkpoint_name(out, "attn_core_out")
             if act_stats is not None:
@@ -182,11 +182,15 @@ def multi_head_attention(
             fused_attention_qkv_headgrid,
             sharded_attention,
         )
-        from clip_event_tpu.parallel.mesh import DATA_AXIS
+        from clip_event_tpu.parallel.mesh import DATA_AXIS, data_axes
 
         kernel_fn = fused_attention_qkv if kind == "pallas" else fused_attention_qkv_headgrid
         if mesh is not None and DATA_AXIS in mesh.axis_names and B % mesh.devices.size == 0:
-            out = sharded_attention(kernel_fn, qkv, attn_bias, num_heads, scale, mesh, DATA_AXIS)
+            axes = data_axes(mesh)
+            out = sharded_attention(
+                kernel_fn, qkv, attn_bias, num_heads, scale, mesh,
+                axes if len(axes) > 1 else axes[0],
+            )
         else:
             out = kernel_fn(qkv, attn_bias, num_heads, scale)
         out = checkpoint_name(out, "attn_core_out")

@@ -25,6 +25,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
+# Outer data-parallel axis for multi-slice deployments: slices of a TPU pod
+# are joined by DCN (data-center network), which is orders of magnitude
+# slower than the ICI links inside a slice. Putting the slice dimension on
+# its own OUTER mesh axis makes GSPMD decompose the gradient reduction
+# hierarchically — reduce-scatter/all-gather over ICI within each slice,
+# and only the per-slice partial sums cross DCN — instead of ring-reducing
+# the full gradient over the slow links. (The reference's NCCL/DDP world has
+# no counterpart; this is the jax-native multi-pod scaling recipe.)
+DCN_AXIS = "dcn"
 
 
 def initialize_distributed(
@@ -45,16 +54,59 @@ def initialize_distributed(
         )
 
 
-def make_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over (the first `num_devices`) devices."""
+def make_mesh(num_devices: Optional[int] = None, dcn: int = 1) -> Mesh:
+    """Data-parallel mesh over (the first `num_devices`) devices.
+
+    `dcn=1` (default): a 1-D `dp` mesh. `dcn>1`: a 2-D `(dcn, dp)` mesh for
+    multi-slice pods — the outer axis spans slices (DCN links), the inner
+    axis the chips within a slice (ICI). On real multi-slice TPU hardware the
+    device order comes from `mesh_utils.create_hybrid_device_mesh` (which
+    groups by slice and optimizes the intra-slice torus order); everywhere
+    else (CPU virtual meshes, single-slice) the flat device list is reshaped
+    slice-major, which has the same axis semantics.
+    """
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    dcn = int(dcn)
+    if dcn <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % dcn:
+        raise ValueError(
+            f"dcn={dcn} does not divide device count {len(devices)}"
+        )
+    ici = len(devices) // dcn
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) > 1:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici,), dcn_mesh_shape=(dcn,), devices=devices
+        ).reshape(dcn, ici)
+    else:
+        dev_array = np.asarray(devices).reshape(dcn, ici)
+    return Mesh(dev_array, (DCN_AXIS, DATA_AXIS))
+
+
+def data_axes(mesh: Mesh):
+    """The mesh axes a batch's leading dim shards over, outermost first."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return (DATA_AXIS,)
+
+
+def data_size(mesh: Mesh) -> int:
+    """Total data-parallel degree (product of the data axes' sizes)."""
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n = 1
+    for ax in data_axes(mesh):
+        n *= shape.get(ax, 1)
+    return n
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+    axes = data_axes(mesh)
+    return NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -74,11 +126,11 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """
     if mesh.devices.size == 1:
         return {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
-    # leading axis divides the DATA axis, not the whole mesh — on a 2-D
-    # (dp × tp) mesh the batch is sharded over dp and replicated over tp
-    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-        DATA_AXIS, mesh.devices.size
-    )
+    # leading axis divides the DATA axes (dcn × dp), not the whole mesh — on
+    # a (dp × tp) mesh the batch is sharded over dp and replicated over tp
+    n = data_size(mesh)
+    if DATA_AXIS not in mesh.axis_names:
+        n = mesh.devices.size
     sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
 

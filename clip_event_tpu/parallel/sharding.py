@@ -41,15 +41,36 @@ _TRANSFORMER_RULES = {
 }
 
 
-def make_mesh_2d(dp: Optional[int] = None, tp: int = 1) -> Mesh:
-    """(dp × tp) mesh; dp defaults to n_devices // tp."""
+def make_mesh_2d(dp: Optional[int] = None, tp: int = 1, dcn: int = 1) -> Mesh:
+    """(dp × tp) mesh; dp defaults to n_devices // (tp·dcn).
+
+    `dcn>1` prepends a slice axis — mesh (dcn, dp, tp) — so the
+    data-parallel gradient reduction decomposes hierarchically (ICI within
+    each slice, DCN across slices; see `mesh.DCN_AXIS`) while the Megatron
+    tp collectives stay strictly intra-slice on the innermost (fastest) axis.
+    """
     import numpy as np
 
+    from clip_event_tpu.parallel.mesh import DCN_AXIS
+
     devices = jax.devices()
+    dcn = int(dcn)
     if dp is None:
-        dp = len(devices) // tp
-    devices = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(devices, (DATA_AXIS, TENSOR_AXIS))
+        dp = len(devices) // (tp * dcn)
+    if dcn <= 1:
+        devices = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+        return Mesh(devices, (DATA_AXIS, TENSOR_AXIS))
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slice_ids) > 1:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp, tp), dcn_mesh_shape=(dcn, 1),
+            devices=devices[: dcn * dp * tp],
+        ).reshape(dcn, dp, tp)
+    else:
+        dev_array = np.asarray(devices[: dcn * dp * tp]).reshape(dcn, dp, tp)
+    return Mesh(dev_array, (DCN_AXIS, DATA_AXIS, TENSOR_AXIS))
 
 
 def _spec_for_path(path) -> P:

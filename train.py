@@ -215,16 +215,19 @@ def main():
 
     tp = int(cfg["tp"])
     pp = int(cfg["pp"])
+    dcn = int(cfg["dcn_dp"])
+    if jax.device_count() % (dcn * tp):
+        raise SystemExit(
+            f"dcn_dp={dcn} x tp={tp} does not divide device count "
+            f"{jax.device_count()}"
+        )
     if tp > 1:
         from clip_event_tpu.parallel.sharding import make_mesh_2d, shard_params
 
-        if jax.device_count() % tp:
-            raise SystemExit(
-                f"tp={tp} does not divide device count {jax.device_count()}"
-            )
-        mesh = make_mesh_2d(tp=tp)
-        log.info("mesh: dp=%d x tp=%d (Megatron weight sharding)",
-                 mesh.devices.shape[0], tp)
+        mesh = make_mesh_2d(tp=tp, dcn=dcn)
+        log.info("mesh: %sdp=%d x tp=%d (Megatron weight sharding)",
+                 f"dcn={dcn} x " if dcn > 1 else "",
+                 mesh.devices.shape[-2], tp)
     elif pp > 1:
         from clip_event_tpu.models.layers import set_pipeline
         from clip_event_tpu.parallel.pipeline import make_mesh_pp
@@ -238,7 +241,10 @@ def main():
         log.info("mesh: dp=%d x pp=%d (GPipe layer sharding, M=%d)",
                  mesh.devices.shape[0], pp, int(cfg["pp_microbatches"]))
     else:
-        mesh = make_mesh()
+        mesh = make_mesh(dcn=dcn)
+        if dcn > 1:
+            log.info("mesh: dcn=%d x dp=%d (hierarchical DCN/ICI reduction)",
+                     dcn, mesh.devices.shape[-1])
     if cfg["use_pallas_attention"]:
         # set BEFORE the first step trace; the mesh lets the kernel shard_map
         # over dp on multi-chip meshes (GSPMD can't partition a custom call);
