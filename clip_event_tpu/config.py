@@ -126,6 +126,16 @@ _DEFAULTS: Dict[str, Any] = {
     # fraction of texts that hit the cap so the truncation cost is visible.
     # 0 = off (full context_length).
     "context_cap": 0,
+    # Lossless length bucketing: a list of static text widths (e.g.
+    # [32, 48]). The loader groups training instances by their minimal
+    # width (max description EOT + 1) and emits each batch at the
+    # narrowest listed width that fits every instance in it — short-text
+    # batches run the text tower (the step's dominant cost) at a fraction
+    # of 77 tokens with ZERO truncation (over-long instances land in the
+    # implicit full-width bucket; contrast context_cap, which truncates).
+    # Exact by the causal+EOT argument (tests/test_context_cap.py). One jit
+    # recompile per distinct width. [] = off.
+    "length_buckets": [],
     # reduced-precision optimizer moments: 'bfloat16' stores Adam's first
     # moment / SGD's momentum buffer in bf16 (engine/optim.py) — 25% (Adam)
     # or 50% (SGD) less optimizer-state HBM; Adam's second moment stays f32.
@@ -214,6 +224,26 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
             raise ConfigError(
                 f"context_cap must be in [2, context_length={ctx}] "
                 "(SOT + EOT need two slots)"
+            )
+    buckets = out["length_buckets"]
+    if not isinstance(buckets, (list, tuple)) or not all(
+        isinstance(w, int) and not isinstance(w, bool) for w in buckets
+    ):
+        raise ConfigError("length_buckets must be a list of ints (widths)")
+    if buckets:
+        mcfg = out.get("model")
+        ctx = mcfg.get("context_length", 77) if isinstance(mcfg, dict) else 77
+        eff = out["context_cap"] or ctx
+        if not all(2 <= w < eff for w in buckets):
+            raise ConfigError(
+                f"length_buckets widths must be in [2, {eff}) — the "
+                "effective full width is an implicit final bucket"
+            )
+        if int(out.get("steps_per_dispatch", 1)) > 1 or out["grad_accum_steps"] > 1:
+            raise ConfigError(
+                "length_buckets needs one static width per dispatch: "
+                "incompatible with steps_per_dispatch>1 / grad_accum_steps>1 "
+                "(stacked batches must share a shape)"
             )
     if not isinstance(out["zero"], bool):
         raise ConfigError("zero must be a bool (ZeRO-1 moment sharding)")

@@ -167,6 +167,7 @@ class DataLoader:
         rank: int = 0,
         world_size: int = 1,
         epoch: int = 0,
+        bucket_widths=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -182,37 +183,101 @@ class DataLoader:
         # the NEXT iteration (the index order for a given epoch is
         # deterministic, so this reproduces the interrupted epoch's tail)
         self.start_batch = 0
+        # Lossless length bucketing (config "length_buckets"): group
+        # instances by their minimal text width (dataset.instance_widths())
+        # into batches of a few STATIC widths, so short-description batches
+        # run the text tower at e.g. 32 tokens instead of 77 — exact, never
+        # truncating (unlike context_cap, over-long instances simply land in
+        # the full-width bucket). The batch plan is computed from the GLOBAL
+        # epoch order and every rank strides WITHIN each global batch, so
+        # all processes present identically-shaped global batches each step
+        # (a GSPMD requirement). One jit recompile per distinct width.
+        self.bucket_widths = None
+        if bucket_widths:
+            full = int(getattr(dataset, "context", 0))
+            caps = sorted({int(w) for w in bucket_widths})
+            if not full:
+                raise ValueError("bucket_widths needs dataset.context")
+            if caps and caps[-1] < full:
+                caps.append(full)
+            if not drop_last:
+                raise ValueError("bucket_widths requires drop_last=True")
+            self.bucket_widths = caps
 
     def set_epoch(self, epoch: int, start_batch: int = 0) -> None:
         """Reshuffle per epoch (reference `train_sampler.set_epoch`)."""
         self.epoch = epoch
         self.start_batch = start_batch
 
-    def _indices(self) -> np.ndarray:
-        n = len(self.dataset)
-        order = np.arange(n)
+    def _global_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        return order
+
+    def _indices(self) -> np.ndarray:
+        order = self._global_order()
         # pad so every rank gets the same number of samples, then stride
-        per_rank = -(-n // self.world_size)
+        per_rank = -(-len(order) // self.world_size)
         padded = np.resize(order, per_rank * self.world_size)
         return padded[self.rank :: self.world_size]
 
+    def _plan(self):
+        """This rank's batch plan: a list of (index_chunk, width_or_None),
+        deterministic in (seed, epoch) and length-identical on every rank."""
+        if self.bucket_widths is None:
+            indices = self._indices()
+            if self.drop_last:
+                nb = len(indices) // self.batch_size
+            else:
+                nb = -(-len(indices) // self.batch_size)
+            return [
+                (indices[b * self.batch_size : (b + 1) * self.batch_size], None)
+                for b in range(nb)
+            ]
+        order = self._global_order()
+        widths = np.asarray(self.dataset.instance_widths())
+        caps = self.bucket_widths
+        G = self.batch_size * self.world_size
+        # assign each instance to the narrowest cap that fits it; per cap
+        # (ascending) emit full global batches in epoch order and cascade the
+        # remainder into the next (wider) cap — conserves every instance, so
+        # exactly n mod G are left unbatched at the end (== plain drop_last)
+        assign = np.searchsorted(caps, widths[order])
+        plan = []
+        carry = order[:0]
+        for bi, cap in enumerate(caps):
+            members = np.concatenate([carry, order[assign == bi]])
+            nb = len(members) // G
+            for b in range(nb):
+                plan.append((members[b * G : (b + 1) * G], cap))
+            carry = members[nb * G :]
+        # interleave widths across the epoch (bucket-ordered batches would
+        # train on all short texts first — a curriculum nobody asked for)
+        rng = np.random.default_rng(self.seed + self.epoch + 1)
+        rng.shuffle(plan)
+        # every rank strides WITHIN the global batch: same plan, same widths,
+        # batch_size local rows each
+        return [
+            (chunk[self.rank :: self.world_size], cap) for chunk, cap in plan
+        ]
+
     def __len__(self) -> int:
+        if self.bucket_widths is not None:
+            return len(self._plan())
         per_rank = len(self._indices())
         if self.drop_last:
             return per_rank // self.batch_size
         return -(-per_rank // self.batch_size)
 
     def __iter__(self) -> Iterator:
-        indices = self._indices()
-        n_batches = len(self)
+        plan = self._plan()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
 
-        def build_batch(chunk):
+        def build_batch(chunk, width):
             pool = getattr(self, "_pool", None)
             if pool is None:
                 pool = self._pool = _DaemonPool(self.num_workers)
@@ -223,6 +288,8 @@ class DataLoader:
             meta = [ex[1] for ex in examples]
             tensors.update(self.dataset.batch_extras(len(examples)))
             tensors = self.dataset.finalize_batch(tensors)
+            if width is not None and width < getattr(self.dataset, "context", width):
+                tensors = self.dataset.apply_bucket(tensors, width)
             return tensors, meta
 
         def put_with_stop(item) -> bool:
@@ -234,16 +301,14 @@ class DataLoader:
                     continue
             return False
 
-        first_batch = min(self.start_batch, n_batches)
+        first_batch = min(self.start_batch, len(plan))
 
         def produce():
             try:
-                for b in range(first_batch, n_batches):
+                for chunk, width in plan[first_batch:]:
                     if stop.is_set():
                         return
-                    item = build_batch(
-                        indices[b * self.batch_size : (b + 1) * self.batch_size]
-                    )
+                    item = build_batch(chunk, width)
                     if not put_with_stop(item):
                         return
             finally:

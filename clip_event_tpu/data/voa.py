@@ -208,6 +208,31 @@ class VOADescriptionDataset(ExampleDataset):
     def __len__(self):
         return len(self.data)
 
+    def instance_widths(self) -> np.ndarray:
+        """Per-instance minimal text width: max EOT index + 1 over the
+        instance's descriptions (config "length_buckets" — the loader groups
+        instances whose descriptions fit a narrower static width into
+        narrower batches; exact by the same causal+EOT argument as
+        `context_cap`). Tokenizes every description once, cached."""
+        cached = getattr(self, "_instance_widths", None)
+        if cached is None:
+            cached = np.empty(len(self.data), np.int32)
+            for i, rec in enumerate(self.data):
+                texts = (
+                    list(rec["pos"]) + list(rec["neg_event"]) + list(rec["neg_argument"])
+                )
+                tok = tokenize(texts, self.context)
+                cached[i] = int(np.max(np.argmax(tok, axis=-1))) + 1
+            self._instance_widths = cached
+        return cached
+
+    def apply_bucket(self, tensors: dict, width: int) -> dict:
+        """Slice the description channel to the batch's bucket width. Every
+        instance in the batch has EOT < width (loader invariant), so the
+        narrower layout encodes identically."""
+        tensors["text"] = np.ascontiguousarray(tensors["text"][..., :width])
+        return tensors
+
     def __getitem__(self, idx: int):
         inst = self.data[idx]
         image_id = inst["image_id"]

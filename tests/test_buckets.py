@@ -1,0 +1,184 @@
+"""Lossless length bucketing (config "length_buckets"): the loader groups
+instances by their minimal text width and emits each batch at the narrowest
+static width that fits every instance in it — short-text batches run the
+text tower at a fraction of 77 tokens with ZERO truncation. Exact by the
+causal+EOT argument proven in tests/test_context_cap.py; no reference
+counterpart (the reference always pads to 77, `clip.py:168-201`)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from clip_event_tpu.data.voa import VOADescriptionDataset  # noqa: E402
+from clip_event_tpu.data.common import DataLoader  # noqa: E402
+from tests.fixtures import make_voa_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def voa(tmp_path_factory):
+    return make_voa_fixture(str(tmp_path_factory.mktemp("voa")), num_docs=24)
+
+
+def _dataset(voa, **kw):
+    return VOADescriptionDataset(
+        posneg_descriptions_json=voa["descriptions_json"],
+        image_caption_jsons=[voa["mapping_json"]],
+        image_dirs=[voa["image_dir"]],
+        **kw,
+    )
+
+
+def test_instance_widths_match_tokenization(voa):
+    from clip_event_tpu.tokenizer import tokenize
+
+    ds = _dataset(voa)
+    widths = ds.instance_widths()
+    assert widths.shape == (len(ds),)
+    rec = ds.data[3]
+    texts = list(rec["pos"]) + list(rec["neg_event"]) + list(rec["neg_argument"])
+    eot = np.argmax(tokenize(texts, ds.context), axis=-1)
+    assert widths[3] == int(eot.max()) + 1
+    assert (widths >= 2).all() and (widths <= ds.context).all()
+
+
+def test_plan_covers_instances_once_and_widths_fit(voa):
+    ds = _dataset(voa)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
+                        bucket_widths=[16, 24])
+    plan = loader._plan()
+    assert len(plan) == len(loader) == len(ds) // 4
+    widths = ds.instance_widths()
+    seen = []
+    for chunk, cap in plan:
+        assert cap in loader.bucket_widths
+        assert len(chunk) == 4
+        # loader invariant: every instance fits its batch's width
+        assert (widths[chunk] <= cap).all()
+        seen.extend(chunk.tolist())
+    assert len(seen) == len(set(seen))  # no instance twice
+    # deterministic in (seed, epoch); different epoch → different plan
+    again = [(c.tolist(), w) for c, w in loader._plan()]
+    assert again == [(c.tolist(), w) for c, w in plan]
+    loader.set_epoch(1)
+    assert [(c.tolist(), w) for c, w in loader._plan()] != again
+
+
+def test_plan_identical_widths_across_ranks(voa):
+    """Every rank derives the same batch sequence (count AND widths) from
+    the global order — the GSPMD same-shape-per-step requirement — and the
+    rank slices of each batch partition it."""
+    ds = _dataset(voa)
+    loaders = [
+        DataLoader(ds, batch_size=2, shuffle=True, num_workers=1,
+                   rank=r, world_size=2, bucket_widths=[16, 24])
+        for r in (0, 1)
+    ]
+    p0, p1 = loaders[0]._plan(), loaders[1]._plan()
+    assert len(p0) == len(p1)
+    for (c0, w0), (c1, w1) in zip(p0, p1):
+        assert w0 == w1
+        assert len(c0) == len(c1) == 2
+        assert not set(c0.tolist()) & set(c1.tolist())
+
+
+def test_bucketed_batch_loss_equals_full_width(voa):
+    """The narrow batch produces the SAME loss as the identical batch at the
+    full 77-token layout — bucketing is lossless end-to-end."""
+    from clip_event_tpu.engine.train_step import loss_fn
+    from clip_event_tpu.models import CLIPConfig, init_params
+
+    cfg77 = CLIPConfig(
+        embed_dim=64, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=16, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+    )
+    ds = _dataset(voa, image_size=cfg77.image_resolution)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                        bucket_widths=[16])
+    chunk, width = next((c, w) for c, w in loader._plan() if w == 16)
+    # build the same batch twice: full-width, then bucket-sliced
+    examples = [ds[i] for i in chunk]
+    t = {k: np.stack([e[0][k] for e in examples]) for k in examples[0][0]}
+    t.update(ds.batch_extras(len(examples)))
+    full_batch = ds.finalize_batch(t)
+    batch = ds.apply_bucket({k: v.copy() for k, v in full_batch.items()}, width)
+    assert batch["text"].shape[-1] == 16
+    assert full_batch["text"].shape[-1] == ds.context
+    np.testing.assert_array_equal(batch["text"], full_batch["text"][..., :16])
+
+    params = init_params(jax.random.PRNGKey(0), cfg77)
+
+    def loss(b):
+        return float(
+            loss_fn(params, b, cfg77, "ce", True, False, False, jnp.float32)[0]
+        )
+
+    assert loss(batch) == pytest.approx(loss(full_batch), rel=1e-6)
+
+
+def test_config_validates_length_buckets():
+    from clip_event_tpu.config import ConfigError, validate_config
+
+    base = {"task": "t", "posneg_descriptions_json": "x",
+            "image_caption_json": ["x"], "image_dir": ["x"], "ckpt_dir": "x",
+            "constrastive_loss": "ce", "batch_size": 2, "lr": 1e-4,
+            "optimizer": "adam", "max_epoch": 1}
+    assert validate_config(dict(base))["length_buckets"] == []
+    assert validate_config(dict(base, length_buckets=[32, 48]))[
+        "length_buckets"] == [32, 48]
+    for bad in ([1], [77], [32.5], "32", [True]):
+        with pytest.raises(ConfigError):
+            validate_config(dict(base, length_buckets=bad))
+    with pytest.raises(ConfigError):  # must fit under an active context_cap
+        validate_config(dict(base, length_buckets=[40], context_cap=40))
+    with pytest.raises(ConfigError):  # stacked dispatch needs one shape
+        validate_config(dict(base, length_buckets=[32], steps_per_dispatch=2))
+    with pytest.raises(ConfigError):
+        validate_config(dict(base, length_buckets=[32], grad_accum_steps=2))
+
+
+@pytest.mark.slow
+def test_train_cli_length_buckets_end_to_end(tmp_path):
+    voa = make_voa_fixture(str(tmp_path / "voa"), num_docs=16)
+    cfg = {
+        "task": "bucketsmoke",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 1,
+        "batch_size": 4,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "length_buckets": [16, 24],
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64,
+            "transformer_heads": 2, "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "length_buckets" in proc.stderr + proc.stdout
+    assert (tmp_path / "ckpt" / "bucketsmoke" / "bucketsmoke_0").exists()

@@ -543,6 +543,70 @@ def bench_textsplit():
             print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
+def bench_ln():
+    """Quantify the fp32-LN-island share of the stack gradient: full block
+    vs bf16-LN (no fp32 upcast) vs LN-free (identity — the ceiling). Decides
+    whether a reduced-precision LN "speed mode" is worth shipping, and puts
+    a measured number on the LN part of the ~30-40% above-matmul-floor gap
+    (PERFORMANCE.md round-2 decompositions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models import VIT_B32
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    H = cfg.transformer_heads
+    rng = np.random.default_rng(0)
+
+    def ln_bf16(x, lp):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return y * lp["scale"].astype(x.dtype) + lp["bias"].astype(x.dtype)
+
+    def make_block(ln):
+        def block(h, lp):
+            h = h + layers.multi_head_attention(ln(h, lp["ln_1"]), lp["attn"], H, bias)
+            hh = ln(h, lp["ln_2"])
+            hh = layers.linear(hh, lp["mlp"]["fc_w"], lp["mlp"]["fc_b"])
+            hh = layers.quick_gelu(hh)
+            hh = layers.linear(hh, lp["mlp"]["proj_w"], lp["mlp"]["proj_b"])
+            return h + hh
+
+        return jax.checkpoint(
+            block, policy=jax.checkpoint_policies.nothing_saveable
+        )
+
+    def scan_stack(block):
+        def fwd(p, xx, c):
+            def body(h, lp):
+                return block(h, lp), None
+
+            out, _ = jax.lax.scan(body, xx * (1 + c * 1e-12), p)
+            return out
+
+        return fwd
+
+    for tower, L, W, S, Bt in (
+        ("text", cfg.transformer_layers, cfg.transformer_width,
+         cfg.context_length, B * D),
+        ("vision", cfg.vision_layers, cfg.vision_width, 50, B),
+    ):
+        tt = layers.init_transformer(jax.random.PRNGKey(0), L, W)
+        x = jnp.asarray(rng.normal(size=(Bt, S, W)), jnp.bfloat16)
+        bias = layers.causal_mask(S) if tower == "text" else None
+        for name, ln in (
+            (f"{tower} stack grad: fp32-island LN (default)", layers.layer_norm),
+            (f"{tower} stack grad: bf16 LN", ln_bf16),
+            (f"{tower} stack grad: LN-free ceiling", lambda x, lp: x),
+        ):
+            try:
+                _tower_grad_bench(name, tt, x, scan_stack(make_block(ln)))
+            except Exception as e:
+                print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
+
+
 def bench_latency():
     """Image-encode latency (BASELINE.md 'image-encode p50 latency' gate).
 
@@ -1084,6 +1148,7 @@ EXPERIMENTS = {
     "latency": bench_latency,
     "quant": bench_quant,
     "quantgemm": bench_quantgemm,
+    "ln": bench_ln,
 }
 
 

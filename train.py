@@ -141,6 +141,7 @@ def main():
         image_size=mcfg.image_resolution,
         context_cap=cfg["context_cap"],
     )
+    buckets = list(cfg["length_buckets"]) if cfg["is_train"] else []
     loader = DataLoader(
         dataset,
         batch_size=cfg["batch_size"],
@@ -151,7 +152,24 @@ def main():
         prefetch=cfg["prefetch"],
         rank=jax.process_index(),
         world_size=jax.process_count(),
+        bucket_widths=buckets or None,
     )
+    if buckets:
+        import numpy as np
+
+        # one-time BPE pass over every description; also tells the user what
+        # the buckets will actually buy on THIS corpus
+        widths = dataset.instance_widths()
+        caps = loader.bucket_widths
+        shares = [
+            float(np.mean((widths <= hi) & (widths > (caps[i - 1] if i else 0))))
+            for i, hi in enumerate(caps)
+        ]
+        log.info(
+            "length_buckets %s: instance shares %s (narrow batches run the "
+            "text tower at that width — lossless)",
+            caps, ["%.0f%%" % (100 * s) for s in shares],
+        )
     grad_accum = max(int(cfg["grad_accum_steps"]), 1)
     if cfg["is_train"] and len(loader) < grad_accum:
         raise SystemExit(
