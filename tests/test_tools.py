@@ -48,14 +48,15 @@ def test_gather_features_grad_restores_local_shard():
     from functools import partial
 
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    shard_map = jax.shard_map
 
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
     x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
 
     @partial(
         shard_map, mesh=mesh, in_specs=P("dp"), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def loss(local):
         full = gather_features(local)  # [8, 3] on every shard
