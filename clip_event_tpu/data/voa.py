@@ -142,6 +142,12 @@ class VOADescriptionDataset(ExampleDataset):
         # text channel to this width instead of 77 — exact for texts that
         # fit (causal transformer + EOT pooling), truncate-keep-EOT beyond.
         context_cap: int = 0,
+        # multi-host: this process's rank in the global batch assembly — the
+        # in-batch InfoNCE is GLOBAL under GSPMD, so label layouts must
+        # index the global rows while this process emits only its block
+        # (data/labels.py; train.py passes jax.process_index()/count()).
+        dist_rank: int = 0,
+        dist_world: int = 1,
     ):
         self.image_size = image_size
         self.contrastive_loss = contrastive_loss
@@ -149,6 +155,8 @@ class VOADescriptionDataset(ExampleDataset):
         self.load_sr = load_sr
         self.max_bboxes = max_bboxes
         self.context = int(context_cap) or CONTEXT_LENGTH
+        self.dist_rank = int(dist_rank)
+        self.dist_world = int(dist_world)
 
         with open(posneg_descriptions_json) as fh:
             descriptions = json.load(fh)
@@ -332,6 +340,7 @@ class VOADescriptionDataset(ExampleDataset):
         layout = build_label_layout(
             batch_size, self.num_pos, self.num_neg,
             self.contrastive_loss, self.overbatch,
+            rank=self.dist_rank, world_size=self.dist_world,
         )
         return {
             "labels_per_image": layout.labels_per_image,

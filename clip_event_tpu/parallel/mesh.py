@@ -113,11 +113,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Batch fields that are global constants (identical on every process), not
+# per-rank data rows — under multi-process assembly they replicate instead
+# of contributing local shards. `index_pos` is the global positive-row gather
+# table (data/labels.py).
+_REPLICATED_FIELDS = frozenset({"index_pos"})
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put every array in the batch, sharded on its leading axis.
 
     Arrays whose leading axis doesn't divide the mesh (e.g. the static
     `index_pos` table) are replicated instead.
+
+    Multi-process (`jax.process_count() > 1`): each process's batch holds its
+    OWN rows of the global batch, so sharded fields go through
+    `jax.make_array_from_process_local_data` (the global array whose rank-p
+    block is process p's local data) — a bare `device_put` would demand the
+    identical global value on every process. Requires the loader's
+    rank-striding AND rank-offset label layouts (`data/labels.py`); the
+    process-major row order is asserted in `make_mesh`-built meshes because
+    `jax.devices()` sorts devices process-contiguously.
 
     Single-device meshes device_put WITHOUT a sharding: committing inputs to
     a 1-device NamedSharding forces the SPMD-partitioner compilation pipeline,
@@ -133,13 +149,30 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         n = mesh.devices.size
     sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
+    world = jax.process_count()
+    if world > 1:
+        procs = [d.process_index for d in mesh.devices.flat]
+        if procs != sorted(procs):
+            raise ValueError(
+                "multi-process shard_batch needs a process-contiguous device "
+                "order (rank p's loader rows land in global row block p)"
+            )
 
-    def put(x):
+    def put(k, x):
         x = np.asarray(x)
-        target = sharded if x.ndim >= 1 and x.shape[0] % n == 0 else replicated
-        return jax.device_put(x, target)
+        if x.ndim < 1 or k in _REPLICATED_FIELDS:
+            return jax.device_put(x, replicated)
+        if world > 1:
+            if (x.shape[0] * world) % n:
+                return jax.device_put(x, replicated)
+            return jax.make_array_from_process_local_data(
+                sharded, x, global_shape=(x.shape[0] * world,) + x.shape[1:]
+            )
+        if x.shape[0] % n:
+            return jax.device_put(x, replicated)
+        return jax.device_put(x, sharded)
 
-    return {k: put(v) for k, v in batch.items()}
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def replicate(tree, mesh: Mesh):

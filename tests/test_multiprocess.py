@@ -106,14 +106,36 @@ from tests.test_train_step import _make_batch, _optimizer
 cfg = TINY_VIT
 opt = _optimizer()
 mesh = make_mesh(2)  # one device per process: moments shard ACROSS processes
-batch = _make_batch(cfg, seed=7)  # identical on both ranks (seeded)
+# faithful multi-host data path: each process holds ITS half of the global
+# batch (shard_batch assembles via make_array_from_process_local_data) with
+# rank-offset labels; `batch` stays the full global batch for the
+# single-device ground-truth comparison below
+batch = _make_batch(cfg, seed=7)
+from clip_event_tpu.data.labels import build_label_layout
+Bg = batch["image"].shape[0]
+Dd = batch["text"].shape[0] // Bg
+Bl = Bg // 2
+lay = build_label_layout(Bl, 1, Dd - 1, "ce", True, rank=pid, world_size=2)
+local = {
+    "image": batch["image"][pid * Bl : (pid + 1) * Bl],
+    "text": batch["text"][pid * Bl * Dd : (pid + 1) * Bl * Dd],
+    "labels_per_image": lay.labels_per_image,
+    "labels_per_text": lay.labels_per_text,
+    "index_pos": lay.index_pos,
+}
+np.testing.assert_array_equal(
+    np.concatenate([build_label_layout(Bl, 1, Dd - 1, "ce", True, rank=r,
+                                       world_size=2).labels_per_image
+                    for r in (0, 1)]),
+    batch["labels_per_image"],
+)
 params = init_params(jax.random.PRNGKey(0), cfg)
 
 state = create_train_state(replicate(params, mesh), opt)
 state = state._replace(opt_state=shard_opt_state_zero(state.opt_state, mesh, min_size=64))
 shardings = jax.tree.map(lambda x: x.sharding, state)
 step = make_train_step(cfg, opt, donate=False, state_shardings=shardings)
-state, metrics = step(state, shard_batch(batch, mesh))
+state, metrics = step(state, shard_batch(local, mesh))
 assert bool(np.asarray(metrics["finite"]))
 assert any(
     not getattr(l, "is_fully_addressable", True)
@@ -144,7 +166,7 @@ for a, b in zip(jax.tree.leaves(state1.opt_state), jax.tree.leaves(r_opt)):
 # background barriers, wait_for_saves() joins them, and the committed file
 # restores on all ranks
 from clip_event_tpu.engine.checkpoint import wait_for_saves
-state, _ = step(state, shard_batch(batch, mesh))
+state, _ = step(state, shard_batch(local, mesh))
 path = save_checkpoint(out_dir, "mz", 1, state.params, state.opt_state,
                        step=2, async_save=True)
 assert (path is not None) == (pid == 0)
@@ -159,6 +181,62 @@ for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(r_params)):
 from clip_event_tpu.parallel.collectives import comm
 comm.synchronize()
 print(f"ZCKPT_WORKER_{pid}_OK", flush=True)
+"""
+
+
+_BUCKET_WORKER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+port, pid, fixture_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2 and len(jax.devices()) == 2
+
+from clip_event_tpu.data.common import DataLoader
+from clip_event_tpu.data.voa import VOADescriptionDataset
+from clip_event_tpu.engine.train_step import create_train_state, make_train_step
+from clip_event_tpu.models import CLIPConfig, init_params
+from clip_event_tpu.parallel import make_mesh, replicate, shard_batch
+from clip_event_tpu.parallel.collectives import all_gather_objects, comm
+
+cfg = CLIPConfig(
+    embed_dim=64, image_resolution=32, vision_layers=2, vision_width=64,
+    vision_patch_size=16, context_length=77, vocab_size=49408,
+    transformer_width=64, transformer_heads=1, transformer_layers=2,
+)
+ds = VOADescriptionDataset(
+    posneg_descriptions_json=f"{fixture_dir}/descriptions_template_template.json",
+    image_caption_jsons=[f"{fixture_dir}/image_caption_mapping.json"],
+    image_dirs=[f"{fixture_dir}/jpg"],
+    image_size=32,
+    dist_rank=pid, dist_world=2,
+)
+loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2,
+                    rank=pid, world_size=2, bucket_widths=[16, 24])
+
+# the core multi-host claim: every rank derives the SAME batch count and
+# width sequence from the global order (GSPMD same-shape-per-step)
+local = [int(w) for _, w in loader._plan()]
+gathered = all_gather_objects(local)
+assert gathered[0] == gathered[1], gathered
+
+# and the bucketed batches actually step collectively over the 2-process mesh
+mesh = make_mesh(2)
+opt_import = __import__("optax")
+opt = opt_import.sgd(1e-3)
+step = make_train_step(cfg, opt, donate=False)
+state = create_train_state(replicate(init_params(jax.random.PRNGKey(0), cfg), mesh), opt)
+for b, (batch, _meta) in enumerate(loader):
+    assert batch["text"].shape[-1] == local[b]
+    state, metrics = step(state, shard_batch(batch, mesh))
+    assert bool(np.asarray(metrics["finite"]))
+    if b == 2:
+        break
+comm.synchronize()
+print(f"BUCKET_WORKER_{pid}_OK", flush=True)
 """
 
 
@@ -199,6 +277,21 @@ def test_two_process_zero_checkpoint_gather(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
         assert f"ZCKPT_WORKER_{i}_OK" in out
+
+
+@pytest.mark.slow
+def test_two_process_length_buckets(tmp_path):
+    """Both ranks derive the identical batch-width sequence from the global
+    order (all_gather-compared) and step the bucketed batches collectively
+    over the 2-process mesh — the multi-host half of the length_buckets
+    same-shape-per-step contract."""
+    from tests.fixtures import make_voa_fixture
+
+    make_voa_fixture(str(tmp_path / "voa"), num_docs=16)
+    outs, procs = _launch_two(_BUCKET_WORKER, [str(tmp_path / "voa")], tmp_path)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert f"BUCKET_WORKER_{i}_OK" in out
 
 
 @pytest.mark.slow

@@ -140,6 +140,10 @@ def main():
         overbatch=cfg["constrastive_overbatch"],
         image_size=mcfg.image_resolution,
         context_cap=cfg["context_cap"],
+        # multi-host: labels index the GLOBAL in-batch contrast; this
+        # process emits its rank's block (data/labels.py)
+        dist_rank=jax.process_index(),
+        dist_world=jax.process_count(),
     )
     buckets = list(cfg["length_buckets"]) if cfg["is_train"] else []
     loader = DataLoader(
