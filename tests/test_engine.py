@@ -1010,3 +1010,57 @@ def test_train_cli_sigterm_preemption_checkpoint(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     meta2 = json.load(open(ckpt + ".meta.json"))
     assert meta2["step"] == meta["step"] + 1
+
+
+@pytest.mark.slow
+def test_train_cli_nan_abort_writes_debug_artifact(tmp_path):
+    """A diverging run (absurd LR) must stop with exit code 1 AND leave a
+    nan_debug json naming the image ids in flight around the bad step — the
+    batch is re-assemblable offline because the loader is deterministic.
+    (Reference behavior: bare sys.exit on NaN, engine.py:79-82.)"""
+    voa = make_voa_fixture(str(tmp_path / "voa"))
+    cfg = {
+        "task": "nansmoke",
+        "constrastive_loss": "ce",
+        "posneg_descriptions_json": voa["descriptions_json"],
+        "image_caption_json": [voa["mapping_json"]],
+        "image_dir": [voa["image_dir"]],
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "max_epoch": 50,
+        "batch_size": 2,
+        "lr": 1e18,  # guarantees divergence within a couple of steps
+        "optimizer": "sgd",
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "print_freq": 1,  # drain (and therefore abort) every step
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64, "transformer_heads": 1,
+            "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600, cwd=cwd, env=env,
+    )
+    assert proc.returncode == 1, (proc.returncode, proc.stderr[-2000:])
+    assert "Loss is not finite" in proc.stderr + proc.stdout
+    debug_files = [
+        f for f in os.listdir(tmp_path / "ckpt" / "nansmoke")
+        if f.startswith("nan_debug_step")
+    ]
+    assert debug_files, os.listdir(tmp_path / "ckpt" / "nansmoke")
+    debug = json.load(open(tmp_path / "ckpt" / "nansmoke" / debug_files[0]))
+    assert debug["metrics"]["finite"] == 0.0
+    assert debug["recent_batches"] and all(
+        ids for _, ids in
+        ((b["global_step"], b["image_ids"]) for b in debug["recent_batches"])
+    )

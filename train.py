@@ -423,6 +423,13 @@ def main():
         # cuda.synchronize pattern, engine.py:99); here up to print_freq
         # steps stay in flight.
         pending = []
+        # which samples were in flight, per recent step — the batch itself is
+        # too big to buffer on the host, but the image ids are enough to
+        # re-assemble the offending batch offline (the loader is
+        # deterministic). Dumped beside the checkpoints on a NaN abort.
+        import collections
+
+        recent_meta = collections.deque(maxlen=max(cfg["print_freq"], 1) + 2)
 
         def drain():
             nonlocal pending
@@ -430,6 +437,23 @@ def main():
                 if not bool(m["finite"]):
                     log.error("Loss is not finite, stopping training")
                     log.error({k: float(v) for k, v in m.items()})
+                    debug = {
+                        "epoch": epoch,
+                        "global_step": step_idx,
+                        "metrics": {k: float(v) for k, v in m.items()},
+                        "recent_batches": [
+                            {"global_step": s, "image_ids": ids}
+                            for s, ids in recent_meta
+                        ],
+                    }
+                    path = os.path.join(
+                        ckpt_dir, task,
+                        f"nan_debug_step{step_idx}_rank{jax.process_index()}.json",
+                    )
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    with open(path, "w") as fh:
+                        json.dump(debug, fh, indent=1)
+                    log.error("NaN debug artifact written to %s", path)
                     sys.exit(1)
                 scalars = {k: float(v) for k, v in m.items() if k != "finite"}
                 scalars["lr"] = float(schedule(step_idx))
@@ -475,6 +499,10 @@ def main():
                 cfg["print_freq"],
                 header=f"Epoch: [{epoch}]",
             ):
+                recent_meta.append(
+                    (global_step + len(buffer),
+                     [mm.get("image_id") for mm in _meta])
+                )
                 buffer.append(batch)
                 if len(buffer) == group:
                     stacked = {
@@ -516,6 +544,9 @@ def main():
                 cfg["print_freq"],
                 header=f"Epoch: [{epoch}]",
             ):
+                recent_meta.append(
+                    (global_step, [mm.get("image_id") for mm in _meta])
+                )
                 state, metrics = train_step(state, batch)
                 pending.append((global_step, metrics))
                 global_step += 1
