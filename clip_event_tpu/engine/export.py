@@ -65,11 +65,18 @@ def _encoder_fns(cfg, compute_dtype) -> Tuple[Callable, Callable]:
     return jax.jit(image_encode), jax.jit(text_encode)
 
 
-def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu")):
+def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu"),
+                    context=None):
     """Returns (image Exported, text Exported) with a symbolic batch dim.
 
     `platforms` defaults to cpu+tpu so the one artifact runs under a CPU
     smoke harness and on the serving TPU alike.
+
+    `context`: export the text encoder at this static token width instead of
+    the model's 77 — the serving analogue of the `context_cap` training key
+    (exact for texts whose EOT fits; text encode time drops ~linearly, a
+    measured 1.5-1.8x at 48/32 on v5e — PERFORMANCE.md "Static context
+    cap"). The server tokenizes with `tokenize(texts, context)`.
     """
     import jax
     import jax.numpy as jnp
@@ -87,7 +94,12 @@ def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu")):
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params
     )
     image_spec = jax.ShapeDtypeStruct((b, res, res, 3), jnp.float32)
-    token_spec = jax.ShapeDtypeStruct((b, cfg.context_length), jnp.int32)
+    seq = int(context) if context else cfg.context_length
+    if not 2 <= seq <= cfg.context_length:
+        raise ValueError(
+            f"context must be in [2, {cfg.context_length}] (got {context})"
+        )
+    token_spec = jax.ShapeDtypeStruct((b, seq), jnp.int32)
 
     # the Pallas kernel is a TPU-only custom call — force the portable XLA
     # attention path for the exported module, then restore the session's impl
@@ -106,7 +118,8 @@ def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu")):
 
 
 def save_serving_bundle(
-    out_dir: str, params, cfg, compute_dtype=None, platforms=("cpu", "tpu")
+    out_dir: str, params, cfg, compute_dtype=None, platforms=("cpu", "tpu"),
+    context=None,
 ) -> str:
     """Export both encoders + weights + metadata into `out_dir`."""
     import jax
@@ -115,7 +128,8 @@ def save_serving_bundle(
 
     os.makedirs(out_dir, exist_ok=True)
     image_exp, text_exp = export_encoders(
-        params, cfg, compute_dtype=compute_dtype, platforms=platforms
+        params, cfg, compute_dtype=compute_dtype, platforms=platforms,
+        context=context,
     )
     with open(os.path.join(out_dir, IMAGE_MODULE), "wb") as fh:
         fh.write(image_exp.serialize())
@@ -132,7 +146,9 @@ def save_serving_bundle(
         "jax_version": jax.__version__,
         "embed_dim": cfg.embed_dim,
         "image_resolution": cfg.image_resolution,
-        "context_length": cfg.context_length,
+        # the width the TEXT module was exported at — the server must
+        # tokenize to exactly this many tokens (may be < the model's 77)
+        "context_length": int(context) if context else cfg.context_length,
     }
     with open(os.path.join(out_dir, META_FILE), "w") as fh:
         json.dump(meta, fh, indent=2)

@@ -74,6 +74,34 @@ def test_bundle_meta_records_model_config(tmp_path):
     assert "cpu" in meta["platforms"]
 
 
+def test_bundle_capped_context_matches_full(tmp_path):
+    """A bundle exported with `context=S` serves [b, S] tokens and, for
+    texts whose EOT fits, produces the SAME embeddings as the full-width
+    module (the serving analogue of context_cap)."""
+    cfg = TINY_VIT  # context_length 16
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    S = 8
+    out = save_serving_bundle(str(tmp_path / "capped"), params, cfg, context=S)
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["context_length"] == S
+    assert meta["model_config"]["context_length"] == cfg.context_length
+
+    model = load_serving_bundle(out)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(1, cfg.vocab_size - 2, size=(4, cfg.context_length)).astype(
+        np.int32
+    )
+    tokens[:, S - 1 :] = 0
+    tokens[:, S - 1] = cfg.vocab_size - 1  # EOT at the cap boundary
+    full = np.asarray(
+        clip_model.l2_normalize(clip_model.encode_text(params, cfg, tokens))
+    )
+    np.testing.assert_allclose(model.encode_text(tokens[:, :S]), full, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        save_serving_bundle(str(tmp_path / "bad"), params, cfg, context=1)
+
+
 @pytest.mark.slow
 def test_export_cli_end_to_end(tmp_path):
     """python export_serving.py --cfg ... --out ... produces a loadable bundle."""
