@@ -132,6 +132,10 @@ def run_embed(cfg: dict, params, mcfg) -> dict:
       text_file             one text per line (optional)
       texts                 inline list of strings (optional)
       batch_size (64), shard_size (50000), num_workers (8)
+      length_buckets        e.g. [32, 48]: encode each text at the
+                            narrowest listed static width that fits its
+                            EOT (lossless; shards are width-tagged
+                            text-wNN-*.npz; ~1.5-1.8x text encode at 48/32)
     """
     from clip_event_tpu.data.text import TextDataset
     from clip_event_tpu.evals.common import Encoders, resolve_shard
@@ -163,12 +167,45 @@ def run_embed(cfg: dict, params, mcfg) -> dict:
         with open(cfg["text_file"]) as fh:
             texts += [line.rstrip("\n") for line in fh if line.strip()]
     if texts:
-        ds = TextDataset(texts)
-        log.info("embedding %d texts", len(ds))
-        manifests["texts"] = embed_stream(
-            ds, enc, "text", "text", out_dir, shard, batch, workers,
-            id_key="text", rank=rank, world_size=world_size,
-        )
+        buckets = sorted({int(w) for w in cfg.get("length_buckets", [])})
+        groups = [(texts, 0)]
+        if buckets:
+            # lossless length bucketing (same idea as training's
+            # "length_buckets"): encode each text at the narrowest listed
+            # static width that fits its EOT — short texts run the tower at
+            # a fraction of 77 tokens, never truncated (over-long → the
+            # implicit full-width group). Output order is irrelevant here
+            # (ids travel with features), so a plain partition suffices.
+            from clip_event_tpu.tokenizer import CONTEXT_LENGTH, tokenize
+
+            widths = np.argmax(tokenize(texts), axis=-1) + 1
+            caps = [w for w in buckets if w < CONTEXT_LENGTH] + [CONTEXT_LENGTH]
+            assign = np.searchsorted(caps, widths)
+            groups = [
+                ([t for t, a in zip(texts, assign) if a == bi], cap)
+                for bi, cap in enumerate(caps)
+            ]
+            groups = [(g, cap) for g, cap in groups if g]
+            log.info(
+                "length_buckets %s: group sizes %s",
+                caps, [len(g) for g, _ in groups],
+            )
+        merged = None
+        for group_texts, cap in groups:
+            ds = TextDataset(group_texts, context=cap)
+            log.info("embedding %d texts (width %s)", len(ds), cap or "full")
+            m = embed_stream(
+                ds, enc, "text", f"text-w{cap}" if cap else "text",
+                out_dir, shard, batch, workers,
+                id_key="text", rank=rank, world_size=world_size,
+            )
+            if merged is None:
+                merged = m
+            else:
+                merged["count"] += m["count"]
+                merged["shards"] += m["shards"]
+        merged["kind"] = "text"
+        manifests["texts"] = merged
 
     if not manifests:
         raise ValueError("nothing to embed: give image_dir/image_files, "

@@ -176,3 +176,38 @@ def test_embed_stream_two_rank_shards(tmp_path):
                 assert z["features"].shape[1] == TINY_EVAL.embed_dim
     assert sorted(ids) == [f"im{i}" for i in range(5)]
     assert any("r00-" in s for s in manifests[0]["shards"])
+
+
+def test_embed_texts_length_buckets_lossless(tmp_path, params):
+    """`length_buckets` in the embed config encodes each text at the
+    narrowest listed width that fits it; features must match the unbucketed
+    (77-wide) export exactly, id for id."""
+    texts = [
+        "a cat.",                      # fits 16
+        "a protest in the city.",      # fits 16
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the very long meadow toward the distant hills "
+        "beyond the river and the woods",  # > 16 tokens → full bucket
+    ]
+
+    def export(out, extra):
+        cfg = {"output_dir": str(tmp_path / out), "texts": texts,
+               "batch_size": 2, **extra}
+        summary = run_embed(cfg, params, TINY_EVAL)
+        assert summary["texts"]["count"] == len(texts)
+        feats = {}
+        manifest = json.load(open(tmp_path / out / "manifest.json"))
+        for shard in manifest["texts"]["shards"]:
+            z = np.load(tmp_path / out / shard, allow_pickle=False)
+            for i, f in zip(z["ids"], z["features"]):
+                feats[str(i)] = f
+        return feats
+
+    plain = export("plain", {})
+    bucketed = export("bucketed", {"length_buckets": [16]})
+    assert set(plain) == set(bucketed) == set(texts)
+    # width-16 shard exists (short texts) alongside the full-width shard
+    names = json.load(open(tmp_path / "bucketed" / "manifest.json"))["texts"]["shards"]
+    assert any("text-w16" in n for n in names) and any("text-w77" in n for n in names)
+    for t in texts:
+        np.testing.assert_allclose(bucketed[t], plain[t], atol=1e-5)
