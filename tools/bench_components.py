@@ -607,6 +607,44 @@ def bench_ln():
                 print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
+def bench_textwidth():
+    """Text ENCODE throughput vs static width (the serving-side view of
+    context_cap / length_buckets): ViT-B/32 text tower forward at widths
+    77/48/32/16, B=1024, bf16. The carry threads through text_projection so
+    scan iterations can't be CSE'd (timing traps, PERFORMANCE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import clip as clip_model
+
+    cfg = VIT_B32
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    Bt = 1024
+    for w in (77, 48, 32, 16):
+        tokens = rng.integers(1, cfg.vocab_size - 2, size=(Bt, w)).astype(np.int32)
+        tokens[:, -1] = cfg.vocab_size - 1
+        tokens = jnp.asarray(tokens)
+
+        @jax.jit
+        def many(p, t, c0):
+            def body(c, _):
+                p2 = dict(p, text_projection=p["text_projection"] * (1 + c * 1e-12))
+                f = clip_model.encode_text(p2, cfg, t, compute_dtype=jnp.bfloat16)
+                return c + jnp.sum(f.astype(jnp.float32) ** 2) * 1e-9, None
+
+            c, _ = jax.lax.scan(body, c0, None, length=STEPS)
+            return c
+
+        dt = _bench_chain(lambda c, _m=many, _t=tokens: _m(params, _t, c))
+        print(
+            f"text encode B={Bt} width={w:<3d} {dt * 1e3:8.2f} ms/iter "
+            f"({Bt / dt:,.0f} texts/s)",
+            flush=True,
+        )
+
+
 def bench_latency():
     """Image-encode latency (BASELINE.md 'image-encode p50 latency' gate).
 
@@ -1149,6 +1187,7 @@ EXPERIMENTS = {
     "quant": bench_quant,
     "quantgemm": bench_quantgemm,
     "ln": bench_ln,
+    "textwidth": bench_textwidth,
 }
 
 
