@@ -425,3 +425,84 @@ def test_train_cli_zero_and_resume(tmp_path, mode):
                           cwd=cwd, env=env)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert (tmp_path / "ckpt" / "zero" / "zero_1").exists()
+
+
+def test_cross_topology_resume(tmp_path):
+    """A checkpoint saved under one topology (dp=8, ZeRO-1 moments) restores
+    and continues under a DIFFERENT one (dp=2 x tp=4, FSDP params + ZeRO
+    moments) bit-exactly.
+
+    `save_checkpoint` gathers every leaf to canonical host arrays (the
+    sharded layout is never persisted), so elastic resume — fewer chips, a
+    different mesh shape, a different sharding mode — is just the normal
+    restore + re-shard path. This pins that contract: the resumed run on the
+    new mesh matches a run whose state moved to the new mesh live, with no
+    checkpoint round trip in between.
+    """
+    from clip_event_tpu.engine.checkpoint import restore_checkpoint, save_checkpoint
+    from clip_event_tpu.parallel.sharding import make_mesh_2d, shard_params_fsdp
+
+    cfg = TINY_VIT
+    opt = _optimizer()
+
+    # --- source topology: flat dp=8, ZeRO-1 moments
+    mesh_a = make_mesh(8)
+    state_a, step_a = _zero_state_and_step(cfg, opt, mesh_a)
+    for seed in (20, 21):
+        state_a, metrics = step_a(state_a, shard_batch(_make_batch(cfg, seed=seed), mesh_a))
+        assert bool(metrics["finite"])
+    path = save_checkpoint(str(tmp_path), "elastic", 0, state_a.params,
+                           state_a.opt_state, step=int(state_a.step))
+    assert path is not None
+
+    # --- target topology: (dp=2 x tp=4), FSDP params + ZeRO moments
+    mesh_b = make_mesh_2d(dp=2, tp=4)
+
+    def place_on_b(params_host, opt_host, step_count):
+        params = shard_params_fsdp(
+            jax.device_put(
+                params_host, jax.tree.map(lambda _: NamedSharding(mesh_b, jax.sharding.PartitionSpec()), params_host)
+            ),
+            mesh_b,
+        )
+        opt_template = opt.init(params)
+
+        def _reshard(t, x):
+            s = getattr(t, "sharding", None)
+            if not (isinstance(s, NamedSharding) and s.mesh == mesh_b):
+                s = NamedSharding(mesh_b, jax.sharding.PartitionSpec())
+            return jax.device_put(np.asarray(x), s)
+
+        opt_state = shard_opt_state_zero(
+            jax.tree.map(_reshard, opt_template, opt_host), mesh_b
+        )
+        state = create_train_state(params, opt)._replace(
+            opt_state=opt_state, step=jnp.asarray(step_count, jnp.int32)
+        )
+        shardings = jax.tree.map(lambda x: x.sharding, state)
+        return state, make_train_step(cfg, opt, donate=False, state_shardings=shardings)
+
+    # resumed path: through the orbax checkpoint
+    template = jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0), cfg))
+    params_r, opt_r, meta = restore_checkpoint(path, params_template=template, optimizer=opt)
+    assert int(meta["step"]) == 2
+    resumed, step_b = place_on_b(params_r, opt_r, meta["step"])
+
+    # live path: the same state moved host->mesh_b with no checkpoint
+    host_params = jax.tree.map(np.asarray, state_a.params)
+    host_opt = jax.tree.map(np.asarray, state_a.opt_state)
+    live, _ = place_on_b(host_params, host_opt, int(state_a.step))
+
+    for seed in (22, 23):
+        batch = shard_batch(_make_batch(cfg, seed=seed), mesh_b)
+        resumed, m_r = step_b(resumed, batch)
+        live, m_l = step_b(live, batch)
+        assert bool(m_r["finite"]) and bool(m_l["finite"])
+
+    assert int(resumed.step) == int(live.step) == 4
+    for a, b in zip(jax.tree.leaves(resumed.params), jax.tree.leaves(live.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(resumed.opt_state), jax.tree.leaves(live.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored state really is sharded on the new mesh
+    assert any(DATA_AXIS in _spec_axes(l) for l in jax.tree.leaves(resumed.params))
