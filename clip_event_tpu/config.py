@@ -93,6 +93,14 @@ _DEFAULTS: Dict[str, Any] = {
     # and runs the GPipe microbatch schedule (parallel/pipeline.py); 1 = off.
     # Mutually exclusive with tp (pick ONE model-sharding axis).
     "pp": 1,
+    # Megatron sequence parallelism (requires tp > 1): between transformer
+    # blocks the residual stream's SEQUENCE axis is sharded over 'tp'
+    # (models/layers.py::set_sequence_parallel), so the LayerNorm passes and
+    # residual adds — otherwise replicated across the tp group — run
+    # 1/tp-sized, and per-device activation memory for the stream drops tp×.
+    # GSPMD swaps the row-parallel projections' all-reduce for a
+    # reduce-scatter + all-gather pair (same bytes). Identity in math.
+    "sp": False,
     # GPipe microbatches per pipelined stack forward (bubble fraction
     # (pp-1)/(M+pp-1)); clipped to a divisor of the batch at trace time.
     "pp_microbatches": 4,
@@ -202,6 +210,11 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         raise ConfigError(
             "pp>1 and tp>1 are mutually exclusive: pick ONE model-sharding "
             "axis (tp column/row-shards weights, pp layer-shards the stacks)"
+        )
+    if out["sp"] and out["tp"] <= 1:
+        raise ConfigError(
+            "sp (sequence parallelism) shards the residual stream over the "
+            "tp axis — it requires tp > 1"
         )
     if not isinstance(out["pp_microbatches"], int) or out["pp_microbatches"] < 1:
         raise ConfigError("pp_microbatches must be a positive int")

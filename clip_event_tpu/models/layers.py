@@ -224,6 +224,7 @@ def residual_block(
     attn_bias: Optional[jnp.ndarray] = None,
     impl: str = "xla",
     act_stats: Optional[dict] = None,
+    sp=None,
 ) -> jnp.ndarray:
     """Pre-LN transformer block: MHA + QuickGELU MLP, both residual.
 
@@ -231,14 +232,25 @@ def residual_block(
     input is recorded into it, nested to mirror the param tree
     ({"attn": {qkv_w, out_w}, "mlp": {fc_w, proj_w}}) — the calibration
     hook for static int8 activation scales (`ops/quant.py`). None (the
-    default) leaves the hot path untouched."""
+    default) leaves the hot path untouched.
+
+    `sp`: optional NamedSharding for the residual stream (Megatron sequence
+    parallelism — see `set_sequence_parallel`). Applied after each residual
+    add, so the LayerNorm passes and residual arithmetic run with the
+    sequence axis sharded over tp; GSPMD turns the row-parallel projections'
+    psum into a reduce-scatter and all-gathers before the column-parallel
+    ones. Identity in math."""
+
+    def _c(t):
+        return t if sp is None else jax.lax.with_sharding_constraint(t, sp)
+
     if act_stats is not None:
         act_stats["attn"] = {}
         act_stats["mlp"] = {}
-    x = x + multi_head_attention(
+    x = _c(x + multi_head_attention(
         layer_norm(x, params["ln_1"]), params["attn"], num_heads, attn_bias,
         impl, None if act_stats is None else act_stats["attn"],
-    )
+    ))
     h = layer_norm(x, params["ln_2"])
     if act_stats is not None:
         act_stats["mlp"]["fc_w"] = _absmax(h)
@@ -247,7 +259,7 @@ def residual_block(
     if act_stats is not None:
         act_stats["mlp"]["proj_w"] = _absmax(h)
     h = linear(h, params["mlp"]["proj_w"], params["mlp"]["proj_b"])
-    return x + h
+    return _c(x + h)
 
 
 # Scan-unroll policy for the layer stack. Full unroll wins ~8-15% on the
@@ -262,6 +274,46 @@ def set_scan_unroll(unroll) -> None:
     """1 (rolled scan, fastest compile), an int factor, or "full"."""
     global _SCAN_UNROLL
     _SCAN_UNROLL = unroll
+
+
+# Sequence-parallel context: a NamedSharding for the transformer residual
+# stream ([B, S, W] → P(batch_axes, 'tp', None)), or None. Under Megatron
+# tensor parallelism the LayerNorms and residual adds are otherwise
+# replicated work — every tp device computes the full [B, S, W] stream.
+# Constraining the stream's SEQUENCE axis over 'tp' at the block boundaries
+# (Megatron sequence parallelism, Korthikanti et al. 2022) makes GSPMD run
+# them 1/tp-sized: the row-parallel out/proj matmuls' all-reduce becomes a
+# reduce-scatter and the column-parallel qkv/fc matmuls re-gather — same
+# collective bytes, tp× less LN/residual compute and activation memory.
+# Like the attention impl, resolved ONCE in `transformer` and threaded down
+# as a static argument (NamedSharding is hashable) — never read inside the
+# checkpointed block.
+_SEQUENCE_PARALLEL = None
+
+
+def set_sequence_parallel(mesh=None) -> None:
+    """Enable (mesh with a >1 'tp' axis) or disable (None) Megatron sequence
+    parallelism for every subsequent transformer trace. Call BEFORE tracing
+    the step — jit caches the traced choice."""
+    global _SEQUENCE_PARALLEL
+    if mesh is None:
+        _SEQUENCE_PARALLEL = None
+        return
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from clip_event_tpu.parallel.mesh import data_axes
+    from clip_event_tpu.parallel.sharding import TENSOR_AXIS
+
+    if (
+        TENSOR_AXIS not in mesh.axis_names
+        or dict(zip(mesh.axis_names, mesh.devices.shape))[TENSOR_AXIS] <= 1
+    ):
+        raise ValueError("sequence parallelism requires a 'tp' mesh axis of size > 1")
+    axes = data_axes(mesh)
+    batch = axes if len(axes) > 1 else axes[0]
+    _SEQUENCE_PARALLEL = NamedSharding(
+        mesh, PartitionSpec(batch, TENSOR_AXIS, None)
+    )
 
 
 # Pipeline-parallel context: (mesh with a 'pp' axis, microbatch count).
@@ -363,6 +415,10 @@ def _scan_transformer(
         unroll = _SCAN_UNROLL
     if unroll == "full":
         unroll = jax.tree.leaves(stacked_params)[0].shape[0]
+    # sequence-parallel residual-stream sharding applies only to the batched
+    # 3-D stream (never inside a pipeline stage's shard_map, whose mesh has
+    # no 'tp' axis — set_sequence_parallel rejects such meshes up front)
+    sp = _SEQUENCE_PARALLEL if x.ndim == 3 and _PIPELINE is None else None
     block = residual_block
     if remat:
         mode = "full" if remat is True else str(remat)
@@ -370,12 +426,14 @@ def _scan_transformer(
             raise ValueError(f"remat mode {mode!r}; options: {list(_REMAT_POLICIES)}")
         block = jax.checkpoint(
             residual_block, policy=_REMAT_POLICIES[mode](),
-            static_argnums=(2, 4),
+            static_argnums=(2, 4, 6),
         )
 
     def body(h, layer_params):
-        return block(h, layer_params, num_heads, attn_bias, impl), None
+        return block(h, layer_params, num_heads, attn_bias, impl, None, sp), None
 
+    if sp is not None:
+        x = jax.lax.with_sharding_constraint(x, sp)
     out, _ = jax.lax.scan(body, x, stacked_params, unroll=unroll)
     return out
 

@@ -308,7 +308,10 @@ def test_train_cli_tp_end_to_end(tmp_path):
     ckpt0 = tmp_path / "ckpt" / "tpsmoke" / "tpsmoke_0"
     assert ckpt0.exists()
 
-    resume_cfg = dict(cfg, begin_ckpt=str(ckpt0), max_epoch=2)
+    # resume with sequence parallelism ON: the sp constraint is pure layout,
+    # so a tp checkpoint resumes under tp+sp unchanged (and this covers
+    # train.py's sp wiring end-to-end at zero extra suite cost)
+    resume_cfg = dict(cfg, begin_ckpt=str(ckpt0), max_epoch=2, sp=True)
     cfg_path2 = tmp_path / "cfg2.json"
     cfg_path2.write_text(json.dumps(resume_cfg))
     proc = subprocess.run(
@@ -316,4 +319,127 @@ def test_train_cli_tp_end_to_end(tmp_path):
         capture_output=True, text=True, timeout=600, cwd=repo, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "SP: residual-stream sequence axis sharded over tp=2" in (
+        proc.stderr + proc.stdout
+    )
     assert (tmp_path / "ckpt" / "tpsmoke" / "tpsmoke_1").exists()
+
+
+@pytest.fixture
+def _sp_reset():
+    """Always clear the sequence-parallel global after an sp test."""
+    from clip_event_tpu.models.layers import set_sequence_parallel
+
+    yield
+    set_sequence_parallel(None)
+
+
+def test_sp_requires_tp_axis():
+    from clip_event_tpu.models.layers import set_sequence_parallel
+    from clip_event_tpu.parallel import make_mesh
+
+    with pytest.raises(ValueError, match="tp"):
+        set_sequence_parallel(make_mesh(8))
+
+    from clip_event_tpu.config import ConfigError, validate_config
+
+    with pytest.raises(ConfigError, match="sp"):
+        validate_config({
+            "task": "t", "constrastive_loss": "ce",
+            "posneg_descriptions_json": "x", "image_caption_json": ["x"],
+            "image_dir": ["x"], "ckpt_dir": "c", "tb_log_dir": "l",
+            "batch_size": 8, "lr": 1e-4, "optimizer": "adam",
+            "lr_scheduler": "none", "max_epoch": 1, "sp": True,
+        })
+
+
+def test_sp_step_matches_tp_only(_sp_reset):
+    """Two optimizer steps with sequence parallelism ON must produce the same
+    params as the tp-only run — the sp constraint is layout, not math (the
+    reduce-scatter reorders the projection psum by an ulp; same tolerance
+    story as the ZeRO tests)."""
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_train_step
+    from clip_event_tpu.models.layers import set_sequence_parallel
+
+    cfg = TINY_VIT
+    mesh = make_mesh_2d(dp=2, tp=4)
+    opt = build_optimizer("adam", build_schedule("none", 1e-3, 2))
+    batches = [_make_batch(cfg, seed=s) for s in (30, 31)]
+
+    def run(sp):
+        set_sequence_parallel(mesh if sp else None)
+        try:
+            step = make_train_step(cfg, opt, loss_type="ce", overbatch=True,
+                                   donate=False, remat=True)
+            state = create_train_state(
+                shard_params(init_params(jax.random.PRNGKey(7), cfg), mesh), opt
+            )
+            for b in batches:
+                state, metrics = step(state, b)
+                assert bool(metrics["finite"])
+        finally:
+            set_sequence_parallel(None)
+        return state
+
+    ref = run(sp=False)
+    out = run(sp=True)
+    np.testing.assert_allclose(float(ref.step), float(out.step))
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(out.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sp_forward_changes_collective_shape(_sp_reset):
+    """The sp-constrained forward compiles to a DIFFERENT program with the
+    Megatron-SP collective signature: the row-parallel projections' full
+    all-reduces are replaced by scatter+gather of the sequence-sharded
+    stream (the CPU partitioner renders the scatter half as
+    all-reduce+slice or all-to-all rather than a literal reduce-scatter op,
+    so the robust check is: fewer all-reduces, new all-gathers)."""
+    import re
+    from collections import Counter
+
+    from clip_event_tpu.models import encode_text
+    from clip_event_tpu.models.layers import set_sequence_parallel
+
+    cfg = TINY_VIT
+    mesh = make_mesh_2d(dp=2, tp=4)
+    params = shard_params(init_params(jax.random.PRNGKey(2), cfg), mesh)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, cfg.vocab_size - 1, size=(8, cfg.context_length))
+    tokens[:, -1] = cfg.vocab_size - 1
+    tokens = jnp.asarray(tokens.astype(np.int32))
+
+    def compile_text(sp):
+        set_sequence_parallel(mesh if sp else None)
+        try:
+            fn = jax.jit(lambda p, t: encode_text(p, cfg, t))
+            return fn.lower(params, tokens).compile().as_text()
+        finally:
+            set_sequence_parallel(None)
+
+    plain = compile_text(sp=False)
+    sp_txt = compile_text(sp=True)
+    assert sp_txt != plain
+
+    def counts(txt):
+        return Counter(
+            re.findall(
+                r"(all-reduce|all-gather|reduce-scatter|all-to-all)\(", txt
+            )
+        )
+
+    c_plain, c_sp = counts(plain), counts(sp_txt)
+    assert c_sp["all-reduce"] < c_plain["all-reduce"], (c_plain, c_sp)
+    assert (
+        c_sp["all-gather"] + c_sp["reduce-scatter"] + c_sp["all-to-all"]
+        > c_plain["all-gather"] + c_plain["reduce-scatter"] + c_plain["all-to-all"]
+    ), (c_plain, c_sp)
+    # outputs still agree
+    set_sequence_parallel(mesh)
+    try:
+        out_sp = np.asarray(jax.jit(lambda p, t: encode_text(p, cfg, t))(params, tokens))
+    finally:
+        set_sequence_parallel(None)
+    out_ref = np.asarray(jax.jit(lambda p, t: encode_text(p, cfg, t))(params, tokens))
+    np.testing.assert_allclose(out_ref, out_sp, atol=2e-5, rtol=1e-5)

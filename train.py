@@ -250,6 +250,12 @@ def main():
         log.info("mesh: %sdp=%d x tp=%d (Megatron weight sharding)",
                  f"dcn={dcn} x " if dcn > 1 else "",
                  mesh.devices.shape[-2], tp)
+        if cfg["sp"]:
+            from clip_event_tpu.models.layers import set_sequence_parallel
+
+            set_sequence_parallel(mesh)
+            log.info("SP: residual-stream sequence axis sharded over tp=%d "
+                     "(Megatron sequence parallelism)", tp)
     elif pp > 1:
         from clip_event_tpu.models.layers import set_pipeline
         from clip_event_tpu.parallel.pipeline import make_mesh_pp
