@@ -26,6 +26,7 @@ to "pallas" (`use_pallas_attention` in the config).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -115,7 +116,32 @@ def _block_bytes(tb: int, seq_len: int, width: int, num_heads: int) -> int:
     return bytes_io + bytes_f32
 
 
+def _block_bytes_fwd(tb: int, seq_len: int, width: int, num_heads: int) -> int:
+    """Forward-kernel VMEM working set — roughly half the backward's (no
+    do/dqkv blocks, one probability tensor plus softmax temporaries instead
+    of three), so the forward runs at ~2x the backward's batch block. The
+    forward is 2/3 of the attention-core passes under full remat (fwd +
+    recompute) and ALL of them at inference."""
+    sp = _round_up(seq_len, 128)
+    bytes_io = 2 * 2 * (tb * seq_len * 3 * width + tb * seq_len * width)
+    bytes_f32 = 4 * (
+        2 * tb * seq_len * 3 * width
+        + 2 * tb * seq_len * sp * num_heads
+        + 2 * tb * seq_len * width
+    )
+    return bytes_io + bytes_f32
+
+
 _VMEM_BUDGET = 12 * 1024 * 1024  # of the 16 MB physical VMEM
+
+# Measured liveness calibration for BLOCK SIZING only (round 3): the byte
+# models above sum every temporary as simultaneously live, but Mosaic frees
+# dead temporaries — blocks the models scored at 15.8–20 MB compile and run
+# fine in the 16 MB physical VMEM, and the bigger blocks measure +2% on the
+# full train step (PERFORMANCE.md "Attention block-size calibration").
+# Applied in the tb pickers, NOT in the *_supported() dispatch gates —
+# which kernel runs for a given shape stays exactly as measured.
+_LIVENESS = 0.6
 
 
 def fused_attention_supported(seq_len: int, width: int, num_heads: int) -> bool:
@@ -125,10 +151,22 @@ def fused_attention_supported(seq_len: int, width: int, num_heads: int) -> bool:
     return _block_bytes(1, seq_len, width, num_heads) < _VMEM_BUDGET
 
 
-def _pick_block_b(batch: int, seq_len: int, width: int, num_heads: int) -> int:
-    """Largest batch-block whose working set fits in the VMEM budget."""
+def _pick_block_b(
+    batch: int, seq_len: int, width: int, num_heads: int, fwd: bool = False
+) -> int:
+    """Largest batch-block whose working set fits in the VMEM budget.
+
+    `CLIP_EVENT_ATTN_TB` / `CLIP_EVENT_ATTN_TB_FWD` env overrides exist for
+    block-size sweeps (read at trace time — sweep in fresh processes, the
+    jit/remat caches do not key on env)."""
+    forced = os.environ.get(
+        "CLIP_EVENT_ATTN_TB_FWD" if fwd else "CLIP_EVENT_ATTN_TB"
+    )
+    if forced:
+        return min(int(forced), batch)
+    model = _block_bytes_fwd if fwd else _block_bytes
     for tb in (32, 16, 8, 4, 2, 1):
-        if _block_bytes(tb, seq_len, width, num_heads) < _VMEM_BUDGET:
+        if model(tb, seq_len, width, num_heads) * _LIVENESS < _VMEM_BUDGET:
             return min(tb, batch)
     raise ValueError(
         f"attention block (S={seq_len}, W={width}, H={num_heads}) exceeds VMEM "
@@ -150,12 +188,12 @@ def fused_attention_qkv(qkv, bias, num_heads, scale, interpret=False):
     return out
 
 
-def _prep(qkv, bias, num_heads):
+def _prep(qkv, bias, num_heads, fwd=False):
     B, S, W3 = qkv.shape
     width = W3 // 3
     if width % num_heads:
         raise ValueError(f"width {width} not divisible by num_heads {num_heads}")
-    tb = _pick_block_b(B, S, width, num_heads)
+    tb = _pick_block_b(B, S, width, num_heads, fwd=fwd)
     bp = _round_up(B, tb)
     if bp != B:
         qkv = jnp.pad(qkv, [(0, bp - B), (0, 0), (0, 0)])
@@ -168,7 +206,7 @@ def _prep(qkv, bias, num_heads):
 def _fused_qkv_fwd(qkv, bias, num_heads, scale, interpret):
     interpret = _interpret_here(interpret)
     B, S, _ = qkv.shape
-    qp, b, width, tb = _prep(qkv, bias, num_heads)
+    qp, b, width, tb = _prep(qkv, bias, num_heads, fwd=True)
     kernel = functools.partial(_fwd_kernel, num_heads=num_heads, width=width, scale=scale)
     out = pl.pallas_call(
         kernel,
@@ -353,6 +391,18 @@ def _hg_block_bytes(tb: int, seq_len: int, heads: int) -> int:
     return f32 + io + bias
 
 
+def _hg_block_bytes_fwd(tb: int, seq_len: int, heads: int) -> int:
+    """Forward working set: 4 f32 tensors (q, k, v, out), 2 probability
+    tensors (softmax temporary + result), 4 bf16 io streams (q/k/v in +
+    out) — roughly half the backward's, so the forward runs bigger blocks
+    (same split as `_block_bytes_fwd` for the whole-width kernel)."""
+    sp = _round_up(seq_len, 128)
+    f32 = 4 * (4 * heads * tb * seq_len * _HG_LANES + 2 * heads * tb * seq_len * sp)
+    io = 2 * 2 * 4 * tb * seq_len * _HG_LANES
+    bias = 4 * seq_len * sp
+    return f32 + io + bias
+
+
 def head_grid_supported(seq_len: int, width: int, num_heads: int) -> bool:
     """The head-gridded kernel needs W % 128 == 0, head_dim dividing 128,
     and a 1-item block fitting VMEM."""
@@ -364,9 +414,15 @@ def head_grid_supported(seq_len: int, width: int, num_heads: int) -> bool:
     return _hg_block_bytes(1, seq_len, _hg_heads(d)) < _VMEM_BUDGET
 
 
-def _hg_pick_tb(batch: int, seq_len: int, heads: int) -> int:
+def _hg_pick_tb(batch: int, seq_len: int, heads: int, fwd: bool = False) -> int:
+    forced = os.environ.get(
+        "CLIP_EVENT_ATTN_TB_FWD" if fwd else "CLIP_EVENT_ATTN_TB"
+    )
+    if forced:
+        return min(int(forced), batch)
+    model = _hg_block_bytes_fwd if fwd else _hg_block_bytes
     for tb in (32, 16, 8, 4, 2, 1):
-        if _hg_block_bytes(tb, seq_len, heads) < _VMEM_BUDGET:
+        if model(tb, seq_len, heads) * _LIVENESS < _VMEM_BUDGET:
             return min(tb, batch)
     raise ValueError(
         f"head-gridded attention (S={seq_len}) exceeds VMEM — gate calls on "
@@ -383,12 +439,12 @@ def fused_attention_qkv_headgrid(qkv, bias, num_heads, scale, interpret=False):
     return out
 
 
-def _hg_prep(qkv, bias, num_heads):
+def _hg_prep(qkv, bias, num_heads, fwd=False):
     B, S, W3 = qkv.shape
     width = W3 // 3
     d = width // num_heads
     heads = _hg_heads(d)
-    tb = _hg_pick_tb(B, S, heads)
+    tb = _hg_pick_tb(B, S, heads, fwd=fwd)
     bp = _round_up(B, tb)
     if bp != B:
         qkv = jnp.pad(qkv, [(0, bp - B), (0, 0), (0, 0)])
@@ -410,7 +466,7 @@ def _hg_specs(tb, S, width):
 def _hg_fwd(qkv, bias, num_heads, scale, interpret):
     interpret = _interpret_here(interpret)
     B, S, _ = qkv.shape
-    qp, b, width, heads, tb = _hg_prep(qkv, bias, num_heads)
+    qp, b, width, heads, tb = _hg_prep(qkv, bias, num_heads, fwd=True)
     qs, ks, vs, bs, os = _hg_specs(tb, S, width)
     kernel = functools.partial(_hg_fwd_kernel, heads=heads, scale=scale)
     out = pl.pallas_call(

@@ -259,9 +259,10 @@ class TestHeadGridded:
             fused_attention_qkv_headgrid,
         )
 
-        # S=257 forces tb=2 (VMEM budget), so B=5 genuinely exercises the
-        # batch-padding branch (bp=6) in both fwd and bwd
-        assert _hg_pick_tb(5, 257, 2) == 2
+        # S=257 forces tb<=4 (VMEM budget, liveness-calibrated picker), so
+        # B=5 genuinely exercises the batch-padding branch in both fwd and bwd
+        assert 1 < _hg_pick_tb(5, 257, 2) <= 4
+        assert 5 % _hg_pick_tb(5, 257, 2) != 0
         qkv, rng = self._inputs(B=5, S=257, W=128, H=2)
         bias = causal_mask(257)
         scale = 64**-0.5
