@@ -987,6 +987,77 @@ def bench_alignment():
         layers.set_attention_impl("xla")
 
 
+def bench_multiattention():
+    """Full train step with the event/argument local-attention branch ON
+    (`multiattention`, reference model_clip.py:430-488): contrastive loss +
+    bbox-windowed grid-token InfoNCE over R=max_bboxes detections. Benches
+    the default 'desc' mode and the heavier 'desc_type' (R extra text
+    encodes/image for the role-type labels). BENCH_BBOXES overrides R."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_multi_step
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    rng = np.random.default_rng(0)
+    layout = build_label_layout(B, 1, D - 1, "ce", True)
+    R = int(os.environ.get("BENCH_BBOXES", 8))  # max_bboxes default cap
+    optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def _role_tokens():
+        t = rng.integers(1, 49000, size=(B, R, cfg.context_length)).astype(np.int32)
+        t[..., -1] = cfg.vocab_size - 1
+        return jnp.asarray(t)
+
+    batch = {
+        "image": jnp.asarray(_image_inputs(cfg)),
+        "text": jnp.asarray(_text_inputs(cfg)),
+        "labels_per_image": jnp.asarray(layout.labels_per_image),
+        "labels_per_text": jnp.asarray(layout.labels_per_text),
+        "index_pos": jnp.asarray(layout.index_pos),
+        # sort corner pairs per coordinate → [x1, y1, x2, y2] with x1<=x2, y1<=y2
+        "bbox": jnp.asarray(
+            np.sort(rng.random((B, R, 2, 2)).astype(np.float32), axis=2).reshape(
+                B, R, 4
+            )
+        ),
+        "bbox_mask": jnp.asarray((rng.random((B, R)) < 0.6).astype(np.int32)),
+        "bbox_desc_text": _role_tokens(),
+        "bbox_label_text": _role_tokens(),
+    }
+    layers.set_attention_impl("pallas")
+    try:
+        for mode in ("desc", "desc_type"):
+            steps = 3  # R text encodes/image make each step several× heavier
+            _, run_k = make_multi_step(
+                cfg, optimizer, steps, loss_type="ce", overbatch=True,
+                multiattention=mode, compute_dtype=jnp.bfloat16, remat=True,
+                donate=False,
+            )
+            holder = {"state": create_train_state(params, optimizer)}
+
+            def call(c):
+                s, m = run_k(holder["state"], batch)
+                holder["state"] = s
+                return m["loss"][-1] + c * 0
+
+            try:
+                dt = _bench_chain(call, steps, calls=2)
+                label = f"multiattn step ({mode}, B={B}, R={R})"
+                print(f"{label:<44s} {dt * 1e3:8.2f} ms/step "
+                      f"({B * D / dt:,.0f} pairs/s)", flush=True)
+            except Exception as e:
+                print(f"multiattn step mode={mode} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
+    finally:
+        layers.set_attention_impl("xla")
+
+
 def bench_accum(ks=(2, 4)):
     """Gradient accumulation overhead: per-MICROBATCH cost of the
     K-accumulated step vs the plain single step at the same microbatch size
@@ -1176,6 +1247,7 @@ EXPERIMENTS = {
     "accum": bench_accum,
     "megakernel": bench_megakernel,
     "alignment": bench_alignment,
+    "multiattention": bench_multiattention,
     "step": bench_step,
     "text": bench_text,
     "vision": bench_vision,
