@@ -110,6 +110,10 @@ def main():
     mesh = make_mesh(n_chips)
     # flagship config: fused packed-QKV pallas attention (339→239 ms/step)
     set_attention_impl("pallas", mesh)
+    if os.environ.get("BENCH_LN") == "pallas":
+        from clip_event_tpu.models.layers import set_ln_impl
+
+        set_ln_impl("pallas", mesh)
     unroll_env = os.environ.get("BENCH_UNROLL")
     if unroll_env:
         from clip_event_tpu.models.layers import set_scan_unroll

@@ -13,6 +13,7 @@ optional key. New TPU-specific keys are additive and default sensibly:
   use_pallas_ot          bool | 'auto'               (default auto: fused
                          kernel once node caps ≥ 32, XLA scan below)
   use_pallas_attention   bool                        (default true)
+  use_pallas_ln          bool — fused one-pass LayerNorm kernels (default false)
   num_workers            host loader threads         (default 8)
   max_objects/max_entities/max_events  static-shape caps
   steps_per_epoch_schedule  bool — true reproduces the reference's
@@ -84,6 +85,10 @@ _DEFAULTS: Dict[str, Any] = {
     # (PERFORMANCE.md); under tp>1 meshes it runs head-group-parallel via
     # shard_map (einsum fallback only when heads/width don't divide tp)
     "use_pallas_attention": True,
+    # fused LayerNorm kernels (standalone LN + residual-add+LN in one HBM
+    # pass each, ops/ln_pallas.py); default off pending a measured win —
+    # falls back to XLA under sp or non-128-tiled widths
+    "use_pallas_ln": False,
     # Megatron tensor parallelism: mesh becomes (dp = devices//tp) × tp,
     # transformer weights column/row-sharded (parallel/sharding.py); 1 = dp
     # only. The stretch parallelism for ViT-L/14+ (SURVEY §2.7).

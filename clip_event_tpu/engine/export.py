@@ -101,10 +101,13 @@ def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu"),
         )
     token_spec = jax.ShapeDtypeStruct((b, seq), jnp.int32)
 
-    # the Pallas kernel is a TPU-only custom call — force the portable XLA
-    # attention path for the exported module, then restore the session's impl
+    # the Pallas kernels are TPU-only custom calls — force the portable XLA
+    # attention + LN paths for the exported module, then restore the
+    # session's impls
     prev_impl, prev_mesh = L._ATTENTION_IMPL, L._ATTENTION_MESH
+    prev_ln, prev_ln_mesh = L._LN_IMPL, L._LN_MESH
     L.set_attention_impl("xla")
+    L.set_ln_impl("xla")
     try:
         image_exp = jex.export(image_fn, platforms=list(platforms))(
             param_specs, image_spec
@@ -114,6 +117,7 @@ def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu"),
         )
     finally:
         L.set_attention_impl(prev_impl, prev_mesh)
+        L.set_ln_impl(prev_ln, prev_ln_mesh)
     return image_exp, text_exp
 
 

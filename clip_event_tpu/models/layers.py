@@ -101,6 +101,92 @@ def _absmax(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.abs(x.astype(jnp.float32)))
 
 
+# LayerNorm implementation switch: "xla" (jnp, default) or "pallas" (fused
+# one-read kernels, ops.ln_pallas — the per-block LNs run as single VMEM
+# passes and the mid-block residual add folds into ln_2's read). Resolved in
+# `transformer` and threaded down as a STATIC argument for the same
+# remat-cache reason as the attention impl above.
+_LN_IMPL = "xla"
+_LN_MESH = None
+
+
+def set_ln_impl(impl: str, mesh=None) -> None:
+    """Select the LayerNorm implementation for the transformer blocks (and,
+    for "pallas" on a multi-chip mesh, the mesh to shard_map the kernels
+    over). Call BEFORE tracing the step — jit caches the traced choice."""
+    global _LN_IMPL, _LN_MESH
+    if impl not in ("xla", "pallas"):
+        raise ValueError("ln impl must be 'xla' or 'pallas'")
+    _LN_IMPL = impl
+    _LN_MESH = mesh
+
+
+def _resolve_ln():
+    """The global LN impl as a hashable static value: "xla" or ("pallas",
+    mesh-or-None)."""
+    if _LN_IMPL != "pallas":
+        return "xla"
+    mesh = _LN_MESH
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None
+    return ("pallas", mesh)
+
+
+def _block_ln_plan(ln, x, sp, act_stats):
+    """Decide the LN path for one residual block: "xla", or ("pallas",
+    shard_args-or-None). Falls back to XLA when the width isn't 128-lane
+    tiled, under sequence parallelism (the stream's sequence axis is
+    tp-sharded — the row-parallel kernel would need a different shard_map),
+    during calibration passes, or when the batch doesn't divide the mesh."""
+    kind, mesh = (ln, None) if isinstance(ln, str) else ln
+    if kind != "pallas" or sp is not None or act_stats is not None:
+        return "xla"
+    if x.shape[-1] % 128:
+        return "xla"
+    if mesh is None:
+        return ("pallas", None)
+    from clip_event_tpu.parallel.mesh import DATA_AXIS, data_axes, data_size
+
+    if DATA_AXIS not in mesh.axis_names or x.shape[0] % data_size(mesh):
+        return "xla"
+    axes = data_axes(mesh)
+    return ("pallas", (mesh, axes if len(axes) > 1 else axes[0]))
+
+
+def _ln_apply(x, p, plan):
+    """LayerNorm by a `_block_ln_plan` decision."""
+    if plan == "xla":
+        return layer_norm(x, p)
+    from clip_event_tpu.ops.ln_pallas import layer_norm_pallas, sharded_ln
+
+    _, shard = plan
+    if shard is None:
+        return layer_norm_pallas(x, p["scale"], p["bias"])
+    mesh, axis = shard
+    return sharded_ln(
+        lambda t, s, b: layer_norm_pallas(t, s, b),
+        (x, p["scale"], p["bias"]), mesh, axis,
+    )
+
+
+def _add_ln_apply(res, delta, p, plan):
+    """(res + delta, LayerNorm(res + delta)) by a `_block_ln_plan` decision —
+    the fused kernel folds the residual add into the LN's single read."""
+    if plan == "xla":
+        x = res + delta
+        return x, layer_norm(x, p)
+    from clip_event_tpu.ops.ln_pallas import add_layer_norm_pallas, sharded_ln
+
+    _, shard = plan
+    if shard is None:
+        return add_layer_norm_pallas(res, delta, p["scale"], p["bias"])
+    mesh, axis = shard
+    return sharded_ln(
+        lambda r, d, s, b: add_layer_norm_pallas(r, d, s, b),
+        (res, delta, p["scale"], p["bias"]), mesh, axis, n_outs=2,
+    )
+
+
 def multi_head_attention(
     x: jnp.ndarray,
     params: dict,
@@ -225,6 +311,7 @@ def residual_block(
     impl: str = "xla",
     act_stats: Optional[dict] = None,
     sp=None,
+    ln: str = "xla",
 ) -> jnp.ndarray:
     """Pre-LN transformer block: MHA + QuickGELU MLP, both residual.
 
@@ -247,11 +334,16 @@ def residual_block(
     if act_stats is not None:
         act_stats["attn"] = {}
         act_stats["mlp"] = {}
-    x = _c(x + multi_head_attention(
-        layer_norm(x, params["ln_1"]), params["attn"], num_heads, attn_bias,
-        impl, None if act_stats is None else act_stats["attn"],
-    ))
-    h = layer_norm(x, params["ln_2"])
+    ln_plan = _block_ln_plan(ln, x, sp, act_stats)
+    a = multi_head_attention(
+        _ln_apply(x, params["ln_1"], ln_plan), params["attn"], num_heads,
+        attn_bias, impl, None if act_stats is None else act_stats["attn"],
+    )
+    if ln_plan == "xla":
+        x = _c(x + a)
+        h = layer_norm(x, params["ln_2"])
+    else:
+        x, h = _add_ln_apply(x, a, params["ln_2"], ln_plan)
     if act_stats is not None:
         act_stats["mlp"]["fc_w"] = _absmax(h)
     h = linear(h, params["mlp"]["fc_w"], params["mlp"]["fc_b"])
@@ -361,6 +453,7 @@ def transformer(
     remat=False,
     unroll=None,
     impl: Optional[str] = None,
+    ln=None,
 ) -> jnp.ndarray:
     """Run a stack of residual blocks via lax.scan over the leading L axis.
 
@@ -378,8 +471,8 @@ def transformer(
     """
     if impl is None:
         impl = _resolve_impl()
-    if unroll is None:
-        unroll = _SCAN_UNROLL
+    if ln is None:
+        ln = _resolve_ln()
     if _PIPELINE is not None and x.ndim == 3:
         mesh, microbatches = _PIPELINE
         pp = dict(mesh.shape).get("pp", 1)
@@ -390,11 +483,11 @@ def transformer(
             return pipelined_transformer(
                 x, stacked_params, num_heads, attn_bias, mesh,
                 microbatches=microbatches, remat=remat, unroll=unroll,
-                impl=impl,
+                impl=impl, ln=ln,
             )
     return _scan_transformer(
         x, stacked_params, num_heads, attn_bias,
-        remat=remat, unroll=unroll, impl=impl,
+        remat=remat, unroll=unroll, impl=impl, ln=ln,
     )
 
 
@@ -406,11 +499,14 @@ def _scan_transformer(
     remat=False,
     unroll=None,
     impl=None,
+    ln=None,
 ) -> jnp.ndarray:
     """The plain stacked-layer scan (no pipeline dispatch) — also the
     per-stage body `parallel.pipeline` runs on each device's local layers."""
     if impl is None:
         impl = _resolve_impl()
+    if ln is None:
+        ln = _resolve_ln()
     if unroll is None:
         unroll = _SCAN_UNROLL
     if unroll == "full":
@@ -426,11 +522,13 @@ def _scan_transformer(
             raise ValueError(f"remat mode {mode!r}; options: {list(_REMAT_POLICIES)}")
         block = jax.checkpoint(
             residual_block, policy=_REMAT_POLICIES[mode](),
-            static_argnums=(2, 4, 6),
+            static_argnums=(2, 4, 6, 7),
         )
 
     def body(h, layer_params):
-        return block(h, layer_params, num_heads, attn_bias, impl, None, sp), None
+        return block(
+            h, layer_params, num_heads, attn_bias, impl, None, sp, ln
+        ), None
 
     if sp is not None:
         x = jax.lax.with_sharding_constraint(x, sp)

@@ -94,6 +94,7 @@ def pipelined_transformer(
     remat=False,
     unroll=None,
     impl=None,
+    ln=None,
 ) -> jnp.ndarray:
     """GPipe forward/backward over the 'pp' mesh axis.
 
@@ -113,9 +114,9 @@ def pipelined_transformer(
     M = _pick_microbatches(B, microbatches)
     mb = B // M
 
+    dp = dict(mesh.shape).get(DATA_AXIS, 1)
     kind, amesh = (impl, None) if isinstance(impl, str) or impl is None else impl
     if kind == "pallas":
-        dp = dict(mesh.shape).get(DATA_AXIS, 1)
         # inside the pp-manual body the fused kernel can be called directly
         # only when nothing else needs partitioning; with dp>1 the custom
         # call would block GSPMD's batch sharding, so use the einsum path
@@ -123,6 +124,9 @@ def pipelined_transformer(
         inner_impl = ("pallas", None) if dp == 1 else "xla"
     else:
         inner_impl = "xla"
+    # same reasoning for the fused LN kernels
+    lkind = ln if isinstance(ln, str) or ln is None else ln[0]
+    inner_ln = ("pallas", None) if lkind == "pallas" and dp == 1 else "xla"
 
     def body(x_full, params_local):
         idx = jax.lax.axis_index(PIPE_AXIS)
@@ -131,7 +135,7 @@ def pipelined_transformer(
         def stage(h):
             return L._scan_transformer(
                 h, params_local, num_heads, attn_bias,
-                remat=remat, unroll=unroll, impl=inner_impl,
+                remat=remat, unroll=unroll, impl=inner_impl, ln=inner_ln,
             )
 
         varying = lambda a: jax.lax.pcast(a, (PIPE_AXIS,), to="varying")  # noqa: E731

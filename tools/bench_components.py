@@ -605,6 +605,23 @@ def bench_ln():
                 _tower_grad_bench(name, tt, x, scan_stack(make_block(ln)))
             except Exception as e:
                 print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
+        # the fused one-pass Pallas LN kernels (ops/ln_pallas.py), through the
+        # real residual_block path (fresh closures per variant — trace-cache
+        # trap, PERFORMANCE.md)
+        for name, ln_static in (
+            (f"{tower} stack grad: residual_block xla LN", "xla"),
+            (f"{tower} stack grad: residual_block pallas LN", ("pallas", None)),
+        ):
+            def real_block(h, lp, _ln=ln_static):
+                return layers.residual_block(h, lp, H, bias, "xla", None, None, _ln)
+
+            blk = jax.checkpoint(
+                real_block, policy=jax.checkpoint_policies.nothing_saveable
+            )
+            try:
+                _tower_grad_bench(name, tt, x, scan_stack(blk))
+            except Exception as e:
+                print(f"{name:<44s} FAILED: {type(e).__name__}", flush=True)
 
 
 def bench_textwidth():

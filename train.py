@@ -281,6 +281,10 @@ def main():
         from clip_event_tpu.models.layers import set_attention_impl
 
         set_attention_impl("pallas", mesh)
+    if cfg.get("use_pallas_ln", False):
+        from clip_event_tpu.models.layers import set_ln_impl
+
+        set_ln_impl("pallas", mesh)
     if tp > 1:
         # column/row-sharded transformer weights; optax moments inherit the
         # param shardings through optimizer.init
