@@ -5,6 +5,7 @@ The reference ships as a bare source tree; installability is part of the
 """
 
 import os
+import shutil
 import subprocess
 import sys
 
@@ -15,12 +16,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_pip_install_prefix_and_import(tmp_path):
+    # Build from a copy: pip's in-tree build would otherwise litter the
+    # repo root with build/ + *.egg-info duplicates of the package.
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copytree(
+        os.path.join(REPO, "clip_event_tpu"), src / "clip_event_tpu",
+        ignore=shutil.ignore_patterns("__pycache__"),
+    )
+    for name in ("pyproject.toml", "README.md"):
+        shutil.copy(os.path.join(REPO, name), src / name)
+
     prefix = str(tmp_path / "prefix")
     proc = subprocess.run(
         [
             sys.executable, "-m", "pip", "install",
             "--no-deps", "--no-build-isolation", "--quiet",
-            "--prefix", prefix, REPO,
+            "--prefix", prefix, str(src),
         ],
         capture_output=True, text=True, timeout=300,
     )
