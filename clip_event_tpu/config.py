@@ -149,6 +149,23 @@ _DEFAULTS: Dict[str, Any] = {
     # Exact by the causal+EOT argument (tests/test_context_cap.py). One jit
     # recompile per distinct width. [] = off.
     "length_buckets": [],
+    # dedupe-encode repeated texts (data/dedupe.py): static GLOBAL caps on
+    # the unique token rows per batch; 0 = off. The loader emits each
+    # batch's unique rows (zero-padded to the cap) + an inverse index, the
+    # step encodes only the uniques and gathers features back to the full
+    # layout — EXACT for loss and gradients (tests/test_dedupe.py), encode
+    # cost ∝ unique count. Big win on template corpora (descriptions repeat
+    # across images) and on the multiattention role/label channels (drawn
+    # from a small label vocabulary). A batch whose unique count exceeds the
+    # cap falls back to the undeduped layout (one extra jit specialization)
+    # — except under multi-host or stacked-batch dispatch, where shapes must
+    # agree and an overflow raises instead (pick the cap from the logged
+    # per-batch unique counts). Caps must divide by the process count; for
+    # sharded (not replicated) unique encodes also by the dp degree.
+    "dedupe_texts": 0,
+    # same, for the bbox role-description and role-type-label channels
+    # (multiattention); the label vocabulary is tiny, so 128–256 suffices
+    "dedupe_sr_texts": 0,
     # reduced-precision optimizer moments: 'bfloat16' stores Adam's first
     # moment / SGD's momentum buffer in bf16 (engine/optim.py) — 25% (Adam)
     # or 50% (SGD) less optimizer-state HBM; Adam's second moment stays f32.
@@ -263,6 +280,15 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
                 "incompatible with steps_per_dispatch>1 / grad_accum_steps>1 "
                 "(stacked batches must share a shape)"
             )
+    for key in ("dedupe_texts", "dedupe_sr_texts"):
+        v = out[key]
+        if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            raise ConfigError(f"{key} must be an int ≥ 0 (0 = off, else the unique-row cap)")
+    if out["dedupe_sr_texts"] and not (out["load_sr"] or out["multiattention"]):
+        raise ConfigError(
+            "dedupe_sr_texts dedupes the bbox text channels: set load_sr=true "
+            "or multiattention"
+        )
     if not isinstance(out["zero"], bool):
         raise ConfigError("zero must be a bool (ZeRO-1 moment sharding)")
     if not isinstance(out["fsdp"], bool):

@@ -142,6 +142,17 @@ class VOADescriptionDataset(ExampleDataset):
         # text channel to this width instead of 77 — exact for texts that
         # fit (causal transformer + EOT pooling), truncate-keep-EOT beyond.
         context_cap: int = 0,
+        # dedupe-encode (data/dedupe.py): GLOBAL static caps on the unique
+        # token rows per batch; 0 = off. `dedupe_texts` covers the flattened
+        # description batch ([B·D] rows → [cap] uniques + inverse index);
+        # `dedupe_sr_texts` the bbox role-description and role-type-label
+        # channels. Exact for loss and gradients; encode cost ∝ uniques.
+        # `dedupe_strict`: error on a cap overflow instead of falling back to
+        # the undeduped layout (required whenever batch shapes must agree
+        # beyond one batch: multi-host assembly, stacked-K dispatch).
+        dedupe_texts: int = 0,
+        dedupe_sr_texts: int = 0,
+        dedupe_strict: bool = False,
         # multi-host: this process's rank in the global batch assembly — the
         # in-batch InfoNCE is GLOBAL under GSPMD, so label layouts must
         # index the global rows while this process emits only its block
@@ -157,6 +168,16 @@ class VOADescriptionDataset(ExampleDataset):
         self.context = int(context_cap) or CONTEXT_LENGTH
         self.dist_rank = int(dist_rank)
         self.dist_world = int(dist_world)
+        self.dedupe_texts = int(dedupe_texts)
+        self.dedupe_sr_texts = int(dedupe_sr_texts)
+        # overflow fallback changes the batch shape, which multi-host
+        # assembly cannot represent (rank blocks must agree) — force strict
+        self.dedupe_strict = bool(dedupe_strict) or self.dist_world > 1
+        for cap in (self.dedupe_texts, self.dedupe_sr_texts):
+            if cap and cap % self.dist_world:
+                raise ValueError(
+                    f"dedupe cap {cap} must divide by world size {self.dist_world}"
+                )
 
         with open(posneg_descriptions_json) as fh:
             descriptions = json.load(fh)
@@ -237,8 +258,12 @@ class VOADescriptionDataset(ExampleDataset):
     def apply_bucket(self, tensors: dict, width: int) -> dict:
         """Slice the description channel to the batch's bucket width. Every
         instance in the batch has EOT < width (loader invariant), so the
-        narrower layout encodes identically."""
-        tensors["text"] = np.ascontiguousarray(tensors["text"][..., :width])
+        narrower layout encodes identically. Dedupe commutes with the slice
+        (rows past every EOT are zero on both sides of a duplicate pair), so
+        the unique array slices the same way."""
+        for key in ("text", "text_unique"):
+            if key in tensors:
+                tensors[key] = np.ascontiguousarray(tensors[key][..., :width])
         return tensors
 
     def __getitem__(self, idx: int):
@@ -351,4 +376,28 @@ class VOADescriptionDataset(ExampleDataset):
     def finalize_batch(self, tensors):
         # flatten descriptions: [B, D, 77] → [B·D, 77] (dataset_voa.py:605-612)
         tensors["text"] = tensors["text"].reshape(-1, tensors["text"].shape[-1])
+        if self.dedupe_texts:
+            self._dedupe_field(tensors, "text", "text", self.dedupe_texts)
+        if self.dedupe_sr_texts and self.load_sr:
+            self._dedupe_field(
+                tensors, "bbox_desc_text", "bbox_desc", self.dedupe_sr_texts
+            )
+            if "bbox_label_text" in tensors:
+                self._dedupe_field(
+                    tensors, "bbox_label_text", "bbox_label", self.dedupe_sr_texts
+                )
         return tensors
+
+    def _dedupe_field(self, tensors: dict, field: str, prefix: str, cap: int):
+        """Replace `field` with `{prefix}_unique` + `{prefix}_inverse`."""
+        from clip_event_tpu.data.dedupe import dedupe_rows, identity_layout
+
+        rows = tensors[field].reshape(-1, tensors[field].shape[-1])
+        out = dedupe_rows(
+            rows, cap, rank=self.dist_rank, world=self.dist_world,
+            strict=self.dedupe_strict, tag=field,
+        )
+        if out is None:  # non-strict overflow: undeduped layout, new shape
+            out = identity_layout(rows, rank=self.dist_rank)
+        tensors[f"{prefix}_unique"], tensors[f"{prefix}_inverse"] = out
+        del tensors[field]

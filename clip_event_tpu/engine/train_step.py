@@ -49,15 +49,36 @@ def loss_fn(
     multiattention_pooling: str = "mean",
     alignment_chunks: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    logits_per_image, logits_per_text = clip_model.forward(
-        params,
-        cfg,
-        batch["image"],
-        batch["text"],
-        overbatch=overbatch,
-        compute_dtype=compute_dtype,
-        remat=remat,
-    )
+    if "text_unique" in batch:
+        # dedupe-encode: the loader emitted the batch's unique token rows
+        # (static cap, zero-padded) + the inverse index (data/dedupe.py).
+        # Encoding uniques and gathering back is exact — same features, same
+        # loss, same parameter gradients (the gather VJP scatter-adds the
+        # duplicates' cotangents) — at encode cost ∝ unique count.
+        image_features = clip_model.l2_normalize(
+            clip_model.encode_image(
+                params, cfg, batch["image"], compute_dtype=compute_dtype, remat=remat
+            )
+        )
+        text_features = clip_model.l2_normalize(
+            clip_model.encode_text(
+                params, cfg, batch["text_unique"], compute_dtype=compute_dtype,
+                remat=remat,
+            )
+        )[batch["text_inverse"]]
+        logits_per_image, logits_per_text = clip_model.contrastive_logits(
+            params, image_features, text_features, overbatch
+        )
+    else:
+        logits_per_image, logits_per_text = clip_model.forward(
+            params,
+            cfg,
+            batch["image"],
+            batch["text"],
+            overbatch=overbatch,
+            compute_dtype=compute_dtype,
+            remat=remat,
+        )
     loss_dict = contrastive_loss(
         logits_per_image,
         logits_per_text,
@@ -89,12 +110,18 @@ def loss_fn(
                 batch["image"],
                 batch["bbox"],
                 batch["bbox_mask"],
-                batch["bbox_desc_text"],
+                batch.get("bbox_desc_text"),
                 label_tokens=batch.get("bbox_label_text"),
                 train_arg=multiattention,
                 pooling=multiattention_pooling,
                 compute_dtype=compute_dtype,
                 remat=remat,
+                # dedupe-encode channel (role texts draw from a tiny label
+                # vocabulary — the biggest win of the dedupe path)
+                desc_unique=batch.get("bbox_desc_unique"),
+                desc_inverse=batch.get("bbox_desc_inverse"),
+                label_unique=batch.get("bbox_label_unique"),
+                label_inverse=batch.get("bbox_label_inverse"),
             )
         )
     total = sum(loss_dict.values())

@@ -187,6 +187,35 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarra
     return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + eps)
 
 
+def contrastive_logits(
+    params: dict,
+    image_features: jnp.ndarray,
+    text_features: jnp.ndarray,
+    overbatch: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scaled cosine-sim logits from NORMALIZED features (the tail of the
+    reference `CLIP.forward`, `model_clip.py:496-521`). Split out of
+    `forward` so callers that build the text features differently — e.g. the
+    dedupe-encode path, which encodes each batch's unique token rows once and
+    gathers them back to the full [B·D, E] layout — share the identical
+    logit/label semantics."""
+    scale = jnp.exp(params["logit_scale"]).astype(image_features.dtype)
+    logits_per_text = scale * jnp.dot(
+        text_features, image_features.T, preferred_element_type=jnp.float32
+    )
+    if overbatch:
+        logits_per_image = scale * jnp.dot(
+            image_features, text_features.T, preferred_element_type=jnp.float32
+        )
+    else:
+        B = image_features.shape[0]
+        per_inst = text_features.reshape(B, -1, text_features.shape[-1])
+        logits_per_image = scale * jnp.einsum(
+            "be,bde->bd", image_features, per_inst, preferred_element_type=jnp.float32
+        )
+    return logits_per_image, logits_per_text
+
+
 def forward(
     params: dict,
     cfg: CLIPConfig,
@@ -209,22 +238,7 @@ def forward(
     text_features = l2_normalize(
         encode_text(params, cfg, tokens, compute_dtype=compute_dtype, remat=remat)
     )
-
-    scale = jnp.exp(params["logit_scale"]).astype(image_features.dtype)
-    logits_per_text = scale * jnp.dot(
-        text_features, image_features.T, preferred_element_type=jnp.float32
-    )
-    if overbatch:
-        logits_per_image = scale * jnp.dot(
-            image_features, text_features.T, preferred_element_type=jnp.float32
-        )
-    else:
-        B = image_features.shape[0]
-        per_inst = text_features.reshape(B, -1, text_features.shape[-1])
-        logits_per_image = scale * jnp.einsum(
-            "be,bde->bd", image_features, per_inst, preferred_element_type=jnp.float32
-        )
-    return logits_per_image, logits_per_text
+    return contrastive_logits(params, image_features, text_features, overbatch)
 
 
 def sim_entity(

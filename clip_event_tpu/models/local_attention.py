@@ -112,20 +112,31 @@ def local_attention_loss(
     images: jnp.ndarray,  # [B, H, W, 3]
     bboxes: jnp.ndarray,  # [B, R, 4] normalized xyxy
     bbox_mask: jnp.ndarray,  # [B, R]
-    desc_tokens: jnp.ndarray,  # [B, R, 77] role descriptions
+    desc_tokens: Optional[jnp.ndarray] = None,  # [B, R, 77] role descriptions
     label_tokens: Optional[jnp.ndarray] = None,  # [B, R, 77] role-type labels
     train_arg: str = "desc",
     pooling: str = "mean",
     compute_dtype=jnp.float32,
     remat: bool = False,
+    # dedupe-encode alternative to desc_tokens/label_tokens (data/dedupe.py):
+    # unique token rows [U, 77] + inverse index [B·R]. Role descriptions and
+    # especially role-TYPE labels draw from a small label vocabulary, so a
+    # B=256·R=8 batch's 2,048 text encodes collapse to U≈the vocab size —
+    # exact for loss and gradients (the gather VJP scatter-adds duplicates).
+    desc_unique: Optional[jnp.ndarray] = None,
+    desc_inverse: Optional[jnp.ndarray] = None,
+    label_unique: Optional[jnp.ndarray] = None,
+    label_inverse: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {'loss_bbox', 'loss_arg'} (reference `loss_per_bbox`,
     `loss_per_arg`, `model_clip.py:430-488`)."""
     if train_arg not in TRAIN_ARGS:
         raise ValueError(f"train_arg must be one of {TRAIN_ARGS}")
     assert cfg.is_vit, "local attention requires the ViT tower's grid tokens"
+    if desc_tokens is None and desc_unique is None:
+        raise ValueError("need desc_tokens or desc_unique+desc_inverse")
 
-    B, R = desc_tokens.shape[:2]
+    B, R = bbox_mask.shape[:2]
     grid = cfg.grid_size
     tokens = clip_model.encode_image(
         params, cfg, images, use_grid=True, compute_dtype=compute_dtype, remat=remat
@@ -142,22 +153,33 @@ def local_attention_loss(
     safe = jnp.where(m, bbox_feats, jnp.ones_like(bbox_feats))
     bbox_feats = jnp.where(m, l2_normalize(safe), 0.0)
 
-    desc_feats = clip_model.encode_text(
-        params, cfg, desc_tokens.reshape(B * R, -1), compute_dtype=compute_dtype,
-        remat=remat,
-    ).reshape(B, R, -1)
-    desc_feats = l2_normalize(desc_feats)
+    def encode_role_texts(tokens, unique, inverse):
+        """[B, R, S] (or deduped [U, S] + [B·R]) → normalized [B, R, E]."""
+        if unique is not None:
+            feats = l2_normalize(
+                clip_model.encode_text(
+                    params, cfg, unique, compute_dtype=compute_dtype, remat=remat
+                )
+            )[inverse]
+        else:
+            feats = l2_normalize(
+                clip_model.encode_text(
+                    params, cfg, tokens.reshape(B * R, -1),
+                    compute_dtype=compute_dtype, remat=remat,
+                )
+            )
+        return feats.reshape(B, R, -1)
+
+    desc_feats = encode_role_texts(desc_tokens, desc_unique, desc_inverse)
 
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
     loss_bbox, loss_arg = _masked_infonce(bbox_feats, desc_feats, bbox_mask, scale)
 
     if train_arg.startswith("desc_type"):
-        assert label_tokens is not None, "desc_type modes need label tokens"
-        label_feats = clip_model.encode_text(
-            params, cfg, label_tokens.reshape(B * R, -1), compute_dtype=compute_dtype,
-            remat=remat,
-        ).reshape(B, R, -1)
-        label_feats = l2_normalize(label_feats)
+        assert label_tokens is not None or label_unique is not None, (
+            "desc_type modes need label tokens"
+        )
+        label_feats = encode_role_texts(label_tokens, label_unique, label_inverse)
         lb, la = _masked_infonce(bbox_feats, label_feats, bbox_mask, scale)
         loss_bbox = loss_bbox + lb
         loss_arg = loss_arg + la

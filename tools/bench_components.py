@@ -1075,6 +1075,128 @@ def bench_multiattention():
         layers.set_attention_impl("xla")
 
 
+def bench_dedupe():
+    """Dedupe-encode throughput: the full train step on a template-corpus
+    text batch (B·D rows drawn from U distinct descriptions) with the plain
+    layout vs the deduped (unique+inverse gather) layout, and the
+    multiattention step with the role/label channels deduped to the label
+    vocabulary. Loss/grad equality is covered by tests/test_dedupe.py; this
+    measures what the exactness buys. BENCH_DEDUPE_UNIQUE sweeps U."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_event_tpu.data.dedupe import dedupe_rows
+    from clip_event_tpu.data.labels import build_label_layout
+    from clip_event_tpu.engine.optim import build_optimizer, build_schedule
+    from clip_event_tpu.engine.train_step import create_train_state, make_multi_step
+    from clip_event_tpu.models import VIT_B32, init_params
+    from clip_event_tpu.models import layers
+
+    cfg = VIT_B32
+    rng = np.random.default_rng(0)
+    layout = build_label_layout(B, 1, D - 1, "ce", True)
+    optimizer = build_optimizer("adam", build_schedule("none", 1e-6, 30))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    steps = STEPS
+
+    def _texts_from_vocab(n_rows, n_unique, seed=1):
+        r = np.random.default_rng(seed)
+        vocab = r.integers(1, 49000, size=(n_unique, cfg.context_length)).astype(np.int32)
+        vocab[:, -1] = cfg.vocab_size - 1
+        return vocab[r.integers(0, n_unique, size=n_rows)]
+
+    base = {
+        "image": jnp.asarray(_image_inputs(cfg)),
+        "labels_per_image": jnp.asarray(layout.labels_per_image),
+        "labels_per_text": jnp.asarray(layout.labels_per_text),
+        "index_pos": jnp.asarray(layout.index_pos),
+    }
+    uniques = os.environ.get("BENCH_DEDUPE_UNIQUE", "96,192,384")
+    layers.set_attention_impl("pallas")
+    try:
+        _, run_k = make_multi_step(
+            cfg, optimizer, steps, loss_type="ce", overbatch=True,
+            compute_dtype=jnp.bfloat16, remat=True, donate=False,
+        )
+
+        def run_case(label, batch):
+            holder = {"state": create_train_state(params, optimizer)}
+
+            def call(c):
+                s, m = run_k(holder["state"], batch)
+                holder["state"] = s
+                return m["loss"][-1] + c * 0
+
+            dt = _bench_chain(call, steps, calls=2)
+            print(f"{label:<44s} {dt * 1e3:8.2f} ms/step "
+                  f"({B * D / dt:,.0f} pairs/s)", flush=True)
+
+        text = _texts_from_vocab(B * D, 96)
+        run_case(f"step plain (B={B}, D={D})", dict(base, text=jnp.asarray(text)))
+        for u in (int(x) for x in uniques.split(",")):
+            text = _texts_from_vocab(B * D, u, seed=u)
+            uniq, inv = dedupe_rows(text, cap=u)
+            run_case(
+                f"step deduped (U={u} of {B * D})",
+                dict(base, text_unique=jnp.asarray(uniq),
+                     text_inverse=jnp.asarray(inv)),
+            )
+
+        # multiattention: role/label texts from a 64-string label vocabulary
+        R = int(os.environ.get("BENCH_BBOXES", 8))
+        ma = dict(
+            base,
+            text=jnp.asarray(_texts_from_vocab(B * D, 96)),
+            bbox=jnp.asarray(
+                np.sort(rng.random((B, R, 2, 2)).astype(np.float32), axis=2)
+                .reshape(B, R, 4)
+            ),
+            bbox_mask=jnp.asarray((rng.random((B, R)) < 0.6).astype(np.int32)),
+        )
+        role = _texts_from_vocab(B * R, 64, seed=7)
+        lab = _texts_from_vocab(B * R, 64, seed=8)
+        for mode in ("desc", "desc_type"):
+            _, run_ma = make_multi_step(
+                cfg, optimizer, 3, loss_type="ce", overbatch=True,
+                multiattention=mode, compute_dtype=jnp.bfloat16, remat=True,
+                donate=False,
+            )
+
+            def run_case_ma(label, batch, run=run_ma):
+                holder = {"state": create_train_state(params, optimizer)}
+
+                def call(c):
+                    s, m = run(holder["state"], batch)
+                    holder["state"] = s
+                    return m["loss"][-1] + c * 0
+
+                dt = _bench_chain(call, 3, calls=2)
+                print(f"{label:<44s} {dt * 1e3:8.2f} ms/step "
+                      f"({B * D / dt:,.0f} pairs/s)", flush=True)
+
+            plain = dict(
+                ma,
+                bbox_desc_text=jnp.asarray(role.reshape(B, R, -1)),
+                bbox_label_text=jnp.asarray(lab.reshape(B, R, -1)),
+            )
+            run_case_ma(f"multiattn plain ({mode}, R={R})", plain)
+            ru, ri = dedupe_rows(role, cap=64)
+            lu, li = dedupe_rows(lab, cap=64)
+            tu, ti = dedupe_rows(np.asarray(ma["text"]), cap=96)
+            ded = dict(
+                ma,
+                bbox_desc_unique=jnp.asarray(ru), bbox_desc_inverse=jnp.asarray(ri),
+                bbox_label_unique=jnp.asarray(lu), bbox_label_inverse=jnp.asarray(li),
+            )
+            run_case_ma(f"multiattn sr-deduped ({mode}, U=64)", ded)
+            ded_all = dict(ded, text_unique=jnp.asarray(tu),
+                           text_inverse=jnp.asarray(ti))
+            del ded_all["text"]
+            run_case_ma(f"multiattn all-deduped ({mode})", ded_all)
+    finally:
+        layers.set_attention_impl("xla")
+
+
 def bench_accum(ks=(2, 4)):
     """Gradient accumulation overhead: per-MICROBATCH cost of the
     K-accumulated step vs the plain single step at the same microbatch size
@@ -1265,6 +1387,7 @@ EXPERIMENTS = {
     "megakernel": bench_megakernel,
     "alignment": bench_alignment,
     "multiattention": bench_multiattention,
+    "dedupe": bench_dedupe,
     "step": bench_step,
     "text": bench_text,
     "vision": bench_vision,

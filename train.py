@@ -140,6 +140,14 @@ def main():
         overbatch=cfg["constrastive_overbatch"],
         image_size=mcfg.image_resolution,
         context_cap=cfg["context_cap"],
+        dedupe_texts=cfg["dedupe_texts"],
+        dedupe_sr_texts=cfg["dedupe_sr_texts"],
+        # overflow falls back to a differently-shaped batch, which stacked-K
+        # dispatch (and multi-host assembly — forced inside the dataset)
+        # cannot absorb: there an overflow must raise instead
+        dedupe_strict=(
+            int(cfg["steps_per_dispatch"]) > 1 or int(cfg["grad_accum_steps"]) > 1
+        ),
         # multi-host: labels index the GLOBAL in-batch contrast; this
         # process emits its rank's block (data/labels.py)
         dist_rank=jax.process_index(),
@@ -273,6 +281,23 @@ def main():
         if dcn > 1:
             log.info("mesh: dcn=%d x dp=%d (hierarchical DCN/ICI reduction)",
                      dcn, mesh.devices.shape[-1])
+    if cfg["dedupe_texts"] or cfg["dedupe_sr_texts"]:
+        from clip_event_tpu.parallel.mesh import data_size
+
+        ndp = data_size(mesh)
+        for key in ("dedupe_texts", "dedupe_sr_texts"):
+            if cfg[key]:
+                if cfg[key] % ndp:
+                    log.warning(
+                        "%s=%d does not divide the data-parallel degree %d: "
+                        "the unique token rows will be REPLICATED (every "
+                        "device encodes all of them) — pick a multiple of %d "
+                        "to shard the unique encode too",
+                        key, cfg[key], ndp, ndp,
+                    )
+                else:
+                    log.info("%s=%d: unique rows shard over dp=%d",
+                             key, cfg[key], ndp)
     if cfg["use_pallas_attention"]:
         # set BEFORE the first step trace; the mesh lets the kernel shard_map
         # over dp on multi-chip meshes (GSPMD can't partition a custom call);
