@@ -1,0 +1,278 @@
+"""Real-text fixture: the reference's shipped VOA visualization pages
+(`/root/reference/data/voa/voa_caption_visualization.zip`, output of
+`data/voa/visualization.py:70-101`) mined back into pipeline inputs and run
+end-to-end — the only genuine CLIP-Event corpus text reachable offline.
+
+Covers: the miner's HTML inversion against a known record, the ColdStart
+round-trip through `preprocess.ke.load_cs`, salient-event selection +
+description generation on real captions/arguments, the real-corpus token
+width facts PERFORMANCE.md cites, and a train.py CLI run on real captions.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tools.mine_voa_fixture import (
+    build_templates,
+    image_id_to_doc,
+    parse_visualization_zip,
+    write_fixture,
+)
+
+ZIP = "/root/reference/data/voa/voa_caption_visualization.zip"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ZIP), reason="reference visualization zip not present"
+)
+
+
+@pytest.fixture(scope="module")
+def records():
+    return parse_visualization_zip(ZIP, limit=60)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(records, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("voa_real"))
+    write_fixture(records, out)
+    return out
+
+
+def test_miner_parses_known_record(records):
+    """First record of page 0: real caption, real events, real arguments
+    (spot-checked by hand against the HTML)."""
+    rec = records["VOA_EN_NW_2017_03_22_3777440_0"]
+    assert rec["caption"].startswith(
+        "Nidhi Chaphekar , Jet Airways flight attendant"
+    )
+    assert "lays a rose on a memorial in Brussels" in rec["caption"]
+    types = {ev["type"] for ev in rec["events"]}
+    assert "Conflict.Attack" in types
+    assert "GenericCrime.GenericCrime.GenericCrime" in types
+    ev0 = rec["events"][0]
+    assert ev0["trigger"] == "terror"
+    assert (
+        "GenericCrime.GenericCrime.GenericCrime_Victim",
+        ":Entity_EDL_0047837",
+        "Nidhi Chaphekar",
+    ) in ev0["args"]
+    # caption text carries no markup
+    assert "<" not in rec["caption"] and "&" not in rec["caption"]
+
+
+def test_image_id_doc_roundtrip():
+    doc, idx = image_id_to_doc("VOA_EN_NW_2017_03_22_3777440_0")
+    assert doc == "VOA_EN_NW_2017.03.22.3777440" and idx == "0"
+    # preprocess_caption re-derives the underscore id (selection.py:189)
+    assert f"{doc}_{idx}".replace(".", "_") == "VOA_EN_NW_2017_03_22_3777440_0"
+
+
+def test_fixture_roundtrips_through_cs_parser(records, fixture_dir):
+    """The emitted .cs lines parse back through the REAL ColdStart loader
+    into the same events/types/argument canonical mentions."""
+    from clip_event_tpu.preprocess.ke import load_cs_files
+
+    store = load_cs_files(
+        [(os.path.join(fixture_dir, "edl.cs"), ""),
+         (os.path.join(fixture_dir, "event.cs"), "")]
+    )
+    for image_id, rec in records.items():
+        got_events = store["doc_ke"][image_id]["event"]
+        assert set(got_events) == {ev["id"] for ev in rec["events"]}
+        for ev in rec["events"]:
+            assert store["evt_info"][ev["id"]]["type"] == ev["type"]
+            assert store["evt_info"][ev["id"]]["canonical_mention"] == ev["trigger"]
+            parsed_args = store["evt_args"][ev["id"]]
+            for role, ent_id, name in ev["args"]:
+                role_short = role.split("#")[-1]
+                assert ent_id in parsed_args[role_short]
+                # tuple is (offset, mention_type, mention_text, canonical)
+                assert parsed_args[role_short][ent_id][3] == name
+
+
+def test_descriptions_on_real_captions(records, fixture_dir):
+    """Salient-event selection + template generation on real IE output:
+    positives verbalize the real arguments, no unfilled <argN> slots
+    survive in positives, negatives differ from positives."""
+    from clip_event_tpu.preprocess.ke import load_cs_files
+    from clip_event_tpu.preprocess.selection import (
+        preprocess_caption,
+        select_salient_events,
+    )
+    from clip_event_tpu.preprocess.templates import generate_descriptions
+
+    store = load_cs_files(
+        [(os.path.join(fixture_dir, "edl.cs"), ""),
+         (os.path.join(fixture_dir, "event.cs"), "")]
+    )
+    caps = preprocess_caption(
+        [os.path.join(fixture_dir, "image_caption_mapping.json")]
+    )
+    # caption cleanup reproduces the mined captions
+    assert caps["VOA_EN_NW_2017_03_22_3777440_0"] == records[
+        "VOA_EN_NW_2017_03_22_3777440_0"
+    ]["caption"]
+
+    salient = select_salient_events(store, merge_args=True)
+    assert len(salient) == len(records)
+    templates = json.load(open(os.path.join(fixture_dir, "templates.json")))
+    descriptions = generate_descriptions(
+        ["template"], ["template"], templates, salient, caps,
+        neg_num=2, seed=999,
+    )
+    assert len(descriptions) >= 0.9 * len(records)
+    real_args_seen = 0
+    for doc_id, rec in descriptions.items():
+        assert rec["pos"] and rec["neg_event"] and rec["neg_argument"]
+        pos = rec["pos"][0]
+        # every slot of the positive's own template is filled or renamed
+        assert "<arg" not in pos
+        assert pos not in rec["neg_event"]
+        # the salient event's canonical argument mentions appear verbatim
+        for role, args in salient[doc_id]["event_args"].items():
+            for tup in args.values():
+                if tup[3] and tup[3] in pos:
+                    real_args_seen += 1
+    assert real_args_seen > len(descriptions)  # arguments really fill slots
+
+
+def test_real_corpus_width_statistics(records, fixture_dir):
+    """The PERFORMANCE.md claim: generated template descriptions fit a
+    32-token static width losslessly (the context_cap=32 deployment row)."""
+    from clip_event_tpu.preprocess.ke import load_cs_files
+    from clip_event_tpu.preprocess.selection import (
+        preprocess_caption,
+        select_salient_events,
+    )
+    from clip_event_tpu.preprocess.templates import generate_descriptions
+    from clip_event_tpu.tokenizer import tokenize
+
+    store = load_cs_files(
+        [(os.path.join(fixture_dir, "edl.cs"), ""),
+         (os.path.join(fixture_dir, "event.cs"), "")]
+    )
+    caps = preprocess_caption(
+        [os.path.join(fixture_dir, "image_caption_mapping.json")]
+    )
+    salient = select_salient_events(store, merge_args=True)
+    descriptions = generate_descriptions(
+        ["template"], ["template"],
+        json.load(open(os.path.join(fixture_dir, "templates.json"))),
+        salient, caps, neg_num=2, seed=999,
+    )
+    texts = []
+    for rec in descriptions.values():
+        texts += rec["pos"] + rec["neg_event"] + rec["neg_argument"]
+    toks = tokenize(texts)
+    widths = (np.asarray(toks) == 49407).argmax(axis=1) + 1
+    assert (widths <= 48).all()          # hard bound on this subset
+    assert (widths <= 32).mean() > 0.97  # ~100% corpus-wide (PERFORMANCE.md)
+
+
+@pytest.mark.slow
+def test_train_cli_on_real_captions(records, fixture_dir, tmp_path):
+    """train.py end-to-end on REAL VOA captions + real-IE descriptions
+    (synthetic JPEGs stand in for the unfetchable image URLs)."""
+    from PIL import Image
+
+    subset = dict(list(records.items())[:8])
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    mapping = {}
+    for image_id in subset:
+        doc, idx = image_id_to_doc(image_id)
+        mapping.setdefault(doc, {})[idx] = {
+            "cap": subset[image_id]["caption"], "url": ""
+        }
+        arr = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{image_id}.jpg")
+    mapping_json = tmp_path / "mapping.json"
+    mapping_json.write_text(json.dumps(mapping))
+
+    from clip_event_tpu.preprocess.ke import load_cs_files
+    from clip_event_tpu.preprocess.selection import (
+        preprocess_caption,
+        select_salient_events,
+    )
+    from clip_event_tpu.preprocess.templates import generate_descriptions
+
+    store = load_cs_files(
+        [(os.path.join(fixture_dir, "edl.cs"), ""),
+         (os.path.join(fixture_dir, "event.cs"), "")]
+    )
+    caps = preprocess_caption([str(mapping_json)])
+    salient = {k: v for k, v in select_salient_events(store).items() if k in subset}
+    descriptions = generate_descriptions(
+        ["template"], ["template"],
+        json.load(open(os.path.join(fixture_dir, "templates.json"))),
+        salient, caps, neg_num=2, seed=999,
+    )
+    desc_json = tmp_path / "descriptions.json"
+    desc_json.write_text(json.dumps(descriptions))
+
+    cfg = {
+        "task": "realtext",
+        "constrastive_loss": "ce",
+        "constrastive_overbatch": True,
+        "alignment": False,
+        "posneg_descriptions_json": str(desc_json),
+        "image_caption_json": [str(mapping_json)],
+        "image_dir": [str(img_dir)],
+        "load_object": False,
+        "load_ie": False,
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "tb_log_dir": str(tmp_path / "logs"),
+        "is_train": True,
+        "begin_epoch": 0,
+        "max_epoch": 1,
+        "batch_size": 2,
+        "lr": 1e-4,
+        "optimizer": "adam",
+        "weight_decay": 0.0,
+        "lr_scheduler": "none",
+        "compute_dtype": "float32",
+        "remat": False,
+        "num_workers": 2,
+        "model": {
+            "embed_dim": 64, "image_resolution": 32, "vision_layers": 2,
+            "vision_width": 64, "vision_patch_size": 16, "context_length": 77,
+            "vocab_size": 49408, "transformer_width": 64,
+            "transformer_heads": 1, "transformer_layers": 2,
+        },
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--cfg", str(cfg_path)],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    ckpts = os.listdir(tmp_path / "ckpt" / "realtext")
+    assert any(name.startswith("realtext_0") for name in ckpts)
+
+
+def test_templates_cover_every_corpus_type():
+    """build_templates emits a usable template for every event type in the
+    full zip (curated or generated), so description generation never drops
+    a salient event for a missing template."""
+    records = parse_visualization_zip(ZIP)
+    templates = build_templates(records)
+    types = {ev["type"] for rec in records.values() for ev in rec["events"]}
+    assert types <= set(templates)
+    for etype, tmpl in templates.items():
+        import re
+
+        roles, text = tmpl["roles"], tmpl["template"]
+        for i, role in enumerate(roles):
+            assert text.count(f"<arg{i + 1}>") <= 1
+        for m in re.finditer(r"<arg(\d+)>", text):  # no slot beyond the roles
+            assert int(m.group(1)) <= len(roles)
