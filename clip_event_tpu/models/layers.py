@@ -132,6 +132,25 @@ def _resolve_ln():
     return ("pallas", mesh)
 
 
+_LN_FALLBACK_WARNED: set = set()
+
+
+def _ln_fallback_warn(reason: str) -> None:
+    """Surface (once per reason per process) that a use_pallas_ln request is
+    being ignored for the current config — the fallback is benign (the
+    kernel is measured slower anyway, PERFORMANCE.md) but should not be
+    silent for future sweeps. Fires at trace time, not per step."""
+    if reason in _LN_FALLBACK_WARNED:
+        return
+    _LN_FALLBACK_WARNED.add(reason)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "use_pallas_ln requested but the pallas LN kernels will NOT run: %s "
+        "(falling back to the XLA LayerNorm)", reason
+    )
+
+
 def _block_ln_plan(ln, x, sp, act_stats):
     """Decide the LN path for one residual block: "xla", or ("pallas",
     shard_args-or-None). Falls back to XLA when the width isn't 128-lane
@@ -139,15 +158,26 @@ def _block_ln_plan(ln, x, sp, act_stats):
     tp-sharded — the row-parallel kernel would need a different shard_map),
     during calibration passes, or when the batch doesn't divide the mesh."""
     kind, mesh = (ln, None) if isinstance(ln, str) else ln
-    if kind != "pallas" or sp is not None or act_stats is not None:
+    if kind != "pallas":
         return "xla"
+    if sp is not None:
+        _ln_fallback_warn("sequence parallelism shards the stream's "
+                          "sequence axis over tp")
+        return "xla"
+    if act_stats is not None:
+        return "xla"  # calibration pass — intentional, transient
     if x.shape[-1] % 128:
+        _ln_fallback_warn(f"width {x.shape[-1]} is not 128-lane tiled")
         return "xla"
     if mesh is None:
         return ("pallas", None)
     from clip_event_tpu.parallel.mesh import DATA_AXIS, data_axes, data_size
 
     if DATA_AXIS not in mesh.axis_names or x.shape[0] % data_size(mesh):
+        _ln_fallback_warn(
+            f"batch {x.shape[0]} does not divide the mesh's data axes "
+            f"({dict(mesh.shape)})"
+        )
         return "xla"
     axes = data_axes(mesh)
     return ("pallas", (mesh, axes if len(axes) > 1 else axes[0]))

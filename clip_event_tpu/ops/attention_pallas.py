@@ -141,7 +141,51 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # of the 16 MB physical VMEM
 # full train step (PERFORMANCE.md "Attention block-size calibration").
 # Applied in the tb pickers, NOT in the *_supported() dispatch gates —
 # which kernel runs for a given shape stays exactly as measured.
+# Calibrated on the benched presets only: an unmeasured (S, W, H) can hit a
+# loud trace-time Mosaic scoped-allocation failure where the uncalibrated
+# model would have picked a smaller, compiling block. Escape hatch:
+# CLIP_EVENT_ATTN_LIVENESS=1.0 disables the calibration (conservative
+# sum-of-temporaries sizing) without code changes.
 _LIVENESS = 0.6
+
+
+def _liveness() -> float:
+    raw = os.environ.get("CLIP_EVENT_ATTN_LIVENESS")
+    if not raw:
+        return _LIVENESS
+    try:
+        val = float(raw)
+    except ValueError:
+        raise ValueError(
+            f"CLIP_EVENT_ATTN_LIVENESS={raw!r} is not a float (use e.g. 1.0 "
+            "to disable the VMEM-liveness calibration)"
+        ) from None
+    if not 0.0 < val <= 1.0:
+        raise ValueError(
+            f"CLIP_EVENT_ATTN_LIVENESS={val} must be in (0, 1]"
+        )
+    return val
+
+
+def _forced_tb(fwd: bool):
+    """Validated CLIP_EVENT_ATTN_TB[_FWD] override, or None.
+
+    Note the asymmetry: custom_vjp preps forward and backward independently,
+    so setting only CLIP_EVENT_ATTN_TB forces the BACKWARD block and leaves
+    the forward on the byte-model pick (set _FWD too to force both). The
+    override bypasses the VMEM byte model entirely — an oversized block is a
+    loud trace-time Mosaic error, never silent corruption."""
+    name = "CLIP_EVENT_ATTN_TB_FWD" if fwd else "CLIP_EVENT_ATTN_TB"
+    raw = os.environ.get(name)
+    if not raw:
+        return None
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(f"{name}={raw!r} is not an integer") from None
+    if val < 1:
+        raise ValueError(f"{name}={val} must be >= 1")
+    return val
 
 
 def fused_attention_supported(seq_len: int, width: int, num_heads: int) -> bool:
@@ -158,15 +202,14 @@ def _pick_block_b(
 
     `CLIP_EVENT_ATTN_TB` / `CLIP_EVENT_ATTN_TB_FWD` env overrides exist for
     block-size sweeps (read at trace time — sweep in fresh processes, the
-    jit/remat caches do not key on env)."""
-    forced = os.environ.get(
-        "CLIP_EVENT_ATTN_TB_FWD" if fwd else "CLIP_EVENT_ATTN_TB"
-    )
-    if forced:
-        return min(int(forced), batch)
+    jit/remat caches do not key on env; see `_forced_tb` for the
+    fwd/bwd-independence caveat)."""
+    forced = _forced_tb(fwd)
+    if forced is not None:
+        return min(forced, batch)
     model = _block_bytes_fwd if fwd else _block_bytes
     for tb in (32, 16, 8, 4, 2, 1):
-        if model(tb, seq_len, width, num_heads) * _LIVENESS < _VMEM_BUDGET:
+        if model(tb, seq_len, width, num_heads) * _liveness() < _VMEM_BUDGET:
             return min(tb, batch)
     raise ValueError(
         f"attention block (S={seq_len}, W={width}, H={num_heads}) exceeds VMEM "
@@ -415,14 +458,12 @@ def head_grid_supported(seq_len: int, width: int, num_heads: int) -> bool:
 
 
 def _hg_pick_tb(batch: int, seq_len: int, heads: int, fwd: bool = False) -> int:
-    forced = os.environ.get(
-        "CLIP_EVENT_ATTN_TB_FWD" if fwd else "CLIP_EVENT_ATTN_TB"
-    )
-    if forced:
-        return min(int(forced), batch)
+    forced = _forced_tb(fwd)
+    if forced is not None:
+        return min(forced, batch)
     model = _hg_block_bytes_fwd if fwd else _hg_block_bytes
     for tb in (32, 16, 8, 4, 2, 1):
-        if model(tb, seq_len, heads) * _LIVENESS < _VMEM_BUDGET:
+        if model(tb, seq_len, heads) * _liveness() < _VMEM_BUDGET:
             return min(tb, batch)
     raise ValueError(
         f"head-gridded attention (S={seq_len}) exceeds VMEM — gate calls on "

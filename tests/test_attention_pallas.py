@@ -364,3 +364,63 @@ def test_megakernel_matches_unfused_chain(B, S, W, H, causal):
         x, ln["scale"], ln["bias"], w, b, bias, H, scale, interpret=True
     ))
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_env_override_validation(monkeypatch):
+    """CLIP_EVENT_ATTN_TB[_FWD] / _LIVENESS overrides are validated at read
+    time with clear errors (advisor round 3: int('0')/non-numeric previously
+    raised ZeroDivisionError/ValueError mid-trace)."""
+    from clip_event_tpu.ops.attention_pallas import (
+        _forced_tb,
+        _liveness,
+        _pick_block_b,
+    )
+
+    monkeypatch.setenv("CLIP_EVENT_ATTN_TB", "0")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        _pick_block_b(8, 77, 512, 8)
+    monkeypatch.setenv("CLIP_EVENT_ATTN_TB", "four")
+    with pytest.raises(ValueError, match="not an integer"):
+        _forced_tb(fwd=False)
+    monkeypatch.setenv("CLIP_EVENT_ATTN_TB", "4")
+    assert _pick_block_b(8, 77, 512, 8) == 4
+    # setting only the bwd var leaves the FORWARD unforced (asymmetry)
+    assert _forced_tb(fwd=True) is None
+
+    monkeypatch.setenv("CLIP_EVENT_ATTN_LIVENESS", "abc")
+    with pytest.raises(ValueError, match="not a float"):
+        _liveness()
+    monkeypatch.setenv("CLIP_EVENT_ATTN_LIVENESS", "1.5")
+    with pytest.raises(ValueError, match=r"in \(0, 1\]"):
+        _liveness()
+    monkeypatch.setenv("CLIP_EVENT_ATTN_LIVENESS", "1.0")
+    assert _liveness() == 1.0
+    # disabling calibration can only shrink (or keep) the picked block
+    monkeypatch.delenv("CLIP_EVENT_ATTN_TB")
+    monkeypatch.delenv("CLIP_EVENT_ATTN_TB_FWD", raising=False)
+    calibrated_off = _pick_block_b(512, 77, 512, 8)
+    monkeypatch.delenv("CLIP_EVENT_ATTN_LIVENESS")
+    assert calibrated_off <= _pick_block_b(512, 77, 512, 8)
+
+
+def test_ln_fallback_warns_once(caplog):
+    """A use_pallas_ln request that cannot run logs one warning per reason
+    (advisor round 3: the silent fallback hid that the kernels never ran)."""
+    import logging
+
+    from clip_event_tpu.models.layers import _LN_FALLBACK_WARNED, _block_ln_plan
+
+    _LN_FALLBACK_WARNED.clear()
+    x = jnp.zeros((4, 8, 96))  # 96 % 128 != 0
+    with caplog.at_level(logging.WARNING, "clip_event_tpu.models.layers"):
+        assert _block_ln_plan("pallas", x, None, None) == "xla"
+        assert _block_ln_plan("pallas", x, None, None) == "xla"
+    msgs = [r for r in caplog.records if "pallas LN kernels will NOT run" in r.message]
+    assert len(msgs) == 1 and "128-lane" in msgs[0].message
+    # xla requests and calibration passes stay silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "clip_event_tpu.models.layers"):
+        assert _block_ln_plan("xla", x, None, None) == "xla"
+        assert _block_ln_plan("pallas", x, None, {"k": []}) == "xla"
+    assert not caplog.records
+    _LN_FALLBACK_WARNED.clear()

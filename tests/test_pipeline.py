@@ -270,7 +270,9 @@ def test_train_cli_pp_end_to_end(tmp_path):
         "remat": False,
         "pp": 2,
         "pp_microbatches": 2,
-        "use_pallas_attention": False,
+        # pallas requested + dp>1: the pipeline body must downgrade to the
+        # einsum path and train.py must WARN about the forfeited kernel
+        "use_pallas_attention": True,
         "num_workers": 2,
         "validate_every": 0,
         "model": {
@@ -289,6 +291,8 @@ def test_train_cli_pp_end_to_end(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "mesh: dp=4 x pp=2" in proc.stderr + proc.stdout
+    # the kernel-downgrade trade is surfaced, not silent (configs/README.md)
+    assert "forces the einsum/XLA attention path" in proc.stderr + proc.stdout
     ckpt0 = tmp_path / "ckpt" / "ppsmoke" / "ppsmoke_0"
     assert ckpt0.exists()
 

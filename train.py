@@ -276,6 +276,17 @@ def main():
         set_pipeline(mesh, microbatches=int(cfg["pp_microbatches"]))
         log.info("mesh: dp=%d x pp=%d (GPipe layer sharding, M=%d)",
                  mesh.devices.shape[0], pp, int(cfg["pp_microbatches"]))
+        if mesh.devices.shape[0] > 1 and cfg["use_pallas_attention"]:
+            # inside the pp-manual body a pallas custom call would block
+            # GSPMD's dp batch sharding, so the towers silently run the
+            # einsum/XLA attention there (parallel/pipeline.py) — forfeit
+            # the kernel's measured ~45% single-chip win. Make that visible.
+            log.warning(
+                "pp=%d with dp=%d forces the einsum/XLA attention path "
+                "inside pipeline stages (the fused pallas kernel cannot be "
+                "GSPMD-partitioned over dp within the pp-manual body); "
+                "expect a slower step than a pure dp/tp mesh — see "
+                "configs/README.md", pp, mesh.devices.shape[0])
     else:
         mesh = make_mesh(dcn=dcn)
         if dcn > 1:
