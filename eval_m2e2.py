@@ -1,7 +1,11 @@
-"""Zero-shot M2E2 event extraction eval (documented entry, README.md:212-215).
+"""Zero-shot M2E2 multimedia event extraction eval (documented entry,
+README.md:212-215) under the M2E2 per-mention P/R/F1 protocol (Li et al.,
+ACL 2020; the CVPR'22 CLIP-Event zero-shot numbers use the same protocol —
+see clip_event_tpu/evals/m2e2.py for the formula).
 
 Config keys: image_anno, image_dir, ie_ontology_json, ckpt, [model,
-batch_size, image_suffix, output_json].
+batch_size, image_suffix, image_list, null_threshold, ground_arguments,
+arg_topk, iou_threshold, output_json].
 """
 
 from clip_event_tpu.evals.cli import run
@@ -15,10 +19,20 @@ def evaluate(cfg, params, mcfg):
         image_anno=cfg["image_anno"],
         image_dir=cfg["image_dir"],
         ie_ontology_json=cfg["ie_ontology_json"],
+        image_list=cfg.get("image_list"),
         image_suffix=cfg.get("image_suffix", ".jpg"),
         image_size=mcfg.image_resolution,
     )
-    return evaluate_m2e2(params, mcfg, dataset, batch_size=cfg.get("batch_size", 32))
+    return evaluate_m2e2(
+        params,
+        mcfg,
+        dataset,
+        batch_size=cfg.get("batch_size", 32),
+        null_threshold=cfg.get("null_threshold"),
+        ground_arguments=cfg.get("ground_arguments", False),
+        arg_topk=cfg.get("arg_topk", 4),
+        iou_threshold=cfg.get("iou_threshold", 0.5),
+    )
 
 
 if __name__ == "__main__":
