@@ -89,6 +89,7 @@ def evaluate_gsr(
     ground_topk: int = 4,
     iou_threshold: float = 0.5,
     ground_via: str = "grid",
+    value_metrics: bool = True,
     rank=None,
     world_size=None,
 ) -> dict:
@@ -96,7 +97,25 @@ def evaluate_gsr(
     grid-token heat map; 'objects' ranks the *detected object boxes* by the
     similarity between the role description and each box's window-pooled
     grid feature (requires `dataset.load_object`) — the reference's
-    detected-object channel realized as an eval."""
+    detected-object channel realized as an eval.
+
+    With `value_metrics` (requires a ViT tower), also reports the standard
+    situation-recognition noun metrics — imSitu (Yatskar et al., CVPR 2016)
+    defines value / value-all, SWiG (Pratt et al., ECCV 2020) the grounded
+    variants:
+      * value: fraction of annotated roles whose predicted noun matches the
+        gold (majority annotator gloss);
+      * value_all: fraction of frames with EVERY annotated role's noun
+        correct;
+      * grounded_value[_all]: additionally the predicted box must overlap
+        the gold box at IoU ≥ `iou_threshold` (roles without a gold box
+        need only the noun, per SWiG).
+    Zero-shot noun prediction: the predicted box's window-pooled grid
+    feature is scored against "An image of {noun}." embeddings over the
+    noun glosses observed in the dataset's annotations. Roles with no gold
+    noun (empty annotations) are excluded from the noun metrics — a
+    zero-shot scorer has no calibrated "empty" prediction (documented
+    deviation from imSitu, which requires predicting the empty noun)."""
     import jax.numpy as jnp
 
     from clip_event_tpu.models.clip import l2_normalize
@@ -113,8 +132,25 @@ def evaluate_gsr(
     grid = cfg.grid_size
     grid_fn = _grid_features_fn(cfg) if do_grounding else None
 
+    do_value = value_metrics and do_grounding
+    noun_feats = noun_index = None
+    if do_value:
+        from clip_event_tpu.tokenizer import tokenize
+
+        vocab = sorted(
+            {n for inst in dataset.data for n in inst["noun_types"] if n}
+        )
+        if vocab:
+            noun_index = {n: i for i, n in enumerate(vocab)}
+            noun_feats = enc.texts(
+                tokenize([f"An image of {n}." for n in vocab])
+            )  # [V, E]
+        else:
+            do_value = False
+
     image_feats, gold_verbs = [], []
     hits, total = 0, 0
+    v_hits = v_total = va_hits = va_total = gv_hits = gva_hits = 0
     offset = 0  # local example index, for the wrap-around-padding mask
     for batch, metas_b in loader:
         images = np.asarray(batch["image"])
@@ -172,6 +208,45 @@ def evaluate_gsr(
         hits += int(((ious >= iou_threshold) & valid).sum())
         total += int(valid.sum())
 
+        if do_value:
+            # noun prediction from the predicted box's window-pooled grid
+            # feature, classified over the observed-noun vocabulary
+            pooled = np.asarray(
+                l2_normalize(
+                    pool_bbox_features(
+                        jnp.asarray(grid_feats),
+                        jnp.asarray(np.clip(pred_boxes, 0.0, 1.0)),
+                        jnp.asarray(role_mask.astype(np.int32)), grid,
+                    ),
+                    eps=1e-8,
+                )
+            )  # [b, R, E]
+            noun_pred = (pooled @ noun_feats.T).argmax(-1)  # [b, R]
+            for i in range(b):
+                if not genuine[i]:
+                    continue
+                nouns = metas_b[i]["noun_types"][:R]
+                annotated = [
+                    j for j, n in enumerate(nouns) if n and role_mask[i, j]
+                ]
+                if not annotated:
+                    continue
+                va_total += 1
+                all_ok = all_gok = True
+                for j in annotated:
+                    ok = bool(noun_pred[i, j] == noun_index[nouns[j]])
+                    # grounded: the box must also hit (roles without a gold
+                    # box need only the noun, per SWiG)
+                    has_box = role_bbox[i, j, 0] >= 0
+                    gok = ok and (not has_box or ious[i, j] >= iou_threshold)
+                    v_total += 1
+                    v_hits += ok
+                    gv_hits += gok
+                    all_ok &= ok
+                    all_gok &= gok
+                va_hits += all_ok
+                gva_hits += all_gok
+
     image_feats, gold = merge_across_ranks(
         len(dataset), world_size,
         np.concatenate(image_feats), np.concatenate(gold_verbs),
@@ -179,8 +254,12 @@ def evaluate_gsr(
     if world_size > 1:
         from clip_event_tpu.parallel.collectives import all_gather_objects
 
-        counts = all_gather_objects((hits, total))
-        hits, total = (sum(c[0] for c in counts), sum(c[1] for c in counts))
+        counts = all_gather_objects(
+            (hits, total, v_hits, v_total, va_hits, va_total, gv_hits,
+             gva_hits)
+        )
+        (hits, total, v_hits, v_total, va_hits, va_total, gv_hits,
+         gva_hits) = tuple(sum(c[k] for c in counts) for k in range(8))
     cand_feats = enc.texts(dataset.candidate_tokens)
     logits = image_feats @ cand_feats.T
     order = np.argsort(-logits, axis=1)
@@ -193,4 +272,13 @@ def evaluate_gsr(
         metrics["grounding_acc"] = hits / total if total else 0.0
         metrics["grounded_args"] = total
         metrics["ground_via"] = ground_via
+    if do_value:
+        metrics["value"] = v_hits / v_total if v_total else 0.0
+        metrics["value_all"] = va_hits / va_total if va_total else 0.0
+        metrics["grounded_value"] = gv_hits / v_total if v_total else 0.0
+        metrics["grounded_value_all"] = (
+            gva_hits / va_total if va_total else 0.0
+        )
+        metrics["value_roles"] = int(v_total)
+        metrics["value_frames"] = int(va_total)
     return metrics

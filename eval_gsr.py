@@ -1,8 +1,11 @@
-"""Zero-shot GSR/SWiG eval: verb classification + argument grounding
-(documented entry, README.md:216-220).
+"""Zero-shot GSR/SWiG eval: verb classification + argument grounding +
+the imSitu/SWiG noun metrics (value, value-all, grounded-value[-all] —
+see clip_event_tpu/evals/gsr.py for the protocol citations). Documented
+entry, README.md:216-220.
 
 Config keys: anno_json, image_dir, ontology_json, ckpt, [prompt, model,
-batch_size, max_roles, ground_topk, output_json].
+batch_size, max_roles, ground_topk, value_metrics, iou_threshold,
+output_json].
 """
 
 from clip_event_tpu.evals.cli import run
@@ -30,6 +33,8 @@ def evaluate(cfg, params, mcfg):
         batch_size=cfg.get("batch_size", 32),
         ground_topk=cfg.get("ground_topk", 4),
         ground_via=cfg.get("ground_via", "grid"),
+        value_metrics=cfg.get("value_metrics", True),
+        iou_threshold=cfg.get("iou_threshold", 0.5),
     )
 
 

@@ -76,6 +76,14 @@ def test_gsr_eval(tmp_path, params):
     assert 0.0 <= m["verb_top1"] <= m["verb_top5"] <= 1.0
     assert m["grounded_args"] == 6  # one grounded role per image
     assert 0.0 <= m["grounding_acc"] <= 1.0
+    # imSitu/SWiG noun metrics: 2 annotated noun roles per image x 6 images
+    assert m["value_roles"] == 12 and m["value_frames"] == 6
+    assert 0.0 <= m["value"] <= 1.0
+    assert m["grounded_value"] <= m["value"]  # grounding only subtracts
+    assert m["value_all"] <= m["value"]
+    assert m["grounded_value_all"] <= min(m["value_all"], m["grounded_value"])
+    m2 = evaluate_gsr(params, TINY_EVAL, ds, batch_size=3, value_metrics=False)
+    assert "value" not in m2
 
 
 def test_vcr_eval(tmp_path, params):
