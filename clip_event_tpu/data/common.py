@@ -237,7 +237,11 @@ class DataLoader:
                 for b in range(nb)
             ]
         order = self._global_order()
-        widths = np.asarray(self.dataset.instance_widths())
+        # sidecar-cached after the first call; threaded over this loader's
+        # worker pool on a cold cache (data/voa.py::instance_widths)
+        widths = np.asarray(
+            self.dataset.instance_widths(num_workers=self.num_workers)
+        )
         caps = self.bucket_widths
         G = self.batch_size * self.world_size
         # assign each instance to the narrowest cap that fits it; per cap

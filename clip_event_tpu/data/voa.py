@@ -179,6 +179,7 @@ class VOADescriptionDataset(ExampleDataset):
                     f"dedupe cap {cap} must divide by world size {self.dist_world}"
                 )
 
+        self._descriptions_json = posneg_descriptions_json
         with open(posneg_descriptions_json) as fh:
             descriptions = json.load(fh)
 
@@ -204,17 +205,24 @@ class VOADescriptionDataset(ExampleDataset):
         )
         if self.context < CONTEXT_LENGTH:
             # make the truncation cost of the cap visible: the fraction of
-            # sampled descriptions whose full-width EOT lands past the cap
+            # UNIFORMLY sampled descriptions whose full-width EOT lands past
+            # the cap (a head sample under-reports on corpora whose length
+            # distribution drifts through the file)
+            pick = np.random.default_rng(0).choice(
+                len(self.data), size=min(512, len(self.data)), replace=False
+            )
             sample = [
                 t
-                for rec in self.data[:256]
-                for t in list(rec["pos"]) + list(rec["neg_event"]) + list(rec["neg_argument"])
+                for i in pick
+                for t in list(self.data[i]["pos"])
+                + list(self.data[i]["neg_event"])
+                + list(self.data[i]["neg_argument"])
             ]
             eot = np.argmax(tokenize(sample), axis=-1)
             frac = float(np.mean(eot >= self.context))
             msg = (
-                "context_cap=%d: %.1f%% of %d sampled descriptions exceed the "
-                "cap (truncate-keep-EOT applies to those)"
+                "context_cap=%d: %.1f%% of %d uniformly sampled descriptions "
+                "exceed the cap (truncate-keep-EOT applies to those)"
             )
             (log.warning if frac > 0.05 else log.info)(
                 msg, self.context, 100.0 * frac, len(sample)
@@ -237,22 +245,97 @@ class VOADescriptionDataset(ExampleDataset):
     def __len__(self):
         return len(self.data)
 
-    def instance_widths(self) -> np.ndarray:
+    def _widths_sidecar(self) -> str:
+        return f"{self._descriptions_json}.widths{self.context}.npz"
+
+    def instance_widths(self, num_workers: int = 0) -> np.ndarray:
         """Per-instance minimal text width: max EOT index + 1 over the
         instance's descriptions (config "length_buckets" — the loader groups
         instances whose descriptions fit a narrower static width into
         narrower batches; exact by the same causal+EOT argument as
-        `context_cap`). Tokenizes every description once, cached."""
+        `context_cap`).
+
+        The BPE pass is O(corpus), so it (a) persists to a sidecar
+        `<descriptions_json>.widths<context>.npz` keyed on the json's
+        mtime+size (re-runs are a file read), (b) memoizes per unique
+        description string, and (c) splits across `num_workers` threads —
+        the tokenizer's regex core releases the GIL, measured 1.24× on even
+        a single core (PERFORMANCE.md)."""
         cached = getattr(self, "_instance_widths", None)
-        if cached is None:
-            cached = np.empty(len(self.data), np.int32)
-            for i, rec in enumerate(self.data):
-                texts = (
-                    list(rec["pos"]) + list(rec["neg_event"]) + list(rec["neg_argument"])
+        if cached is not None:
+            return cached
+
+        try:
+            stat = os.stat(self._descriptions_json)
+            key = (int(stat.st_mtime_ns), int(stat.st_size), self.context)
+        except OSError:
+            key = None
+
+        sidecar = self._widths_sidecar()
+        if key is not None and os.path.exists(sidecar):
+            try:
+                blob = np.load(sidecar, allow_pickle=False)
+                if tuple(int(x) for x in blob["key"]) == key:
+                    by_id = dict(
+                        zip(blob["image_ids"].tolist(), blob["widths"].tolist())
+                    )
+                    widths = [by_id.get(rec["image_id"]) for rec in self.data]
+                    if all(w is not None for w in widths):
+                        self._instance_widths = np.asarray(widths, np.int32)
+                        log.info("instance widths: sidecar hit (%s)", sidecar)
+                        return self._instance_widths
+            except Exception:
+                log.warning("unreadable widths sidecar %s — recomputing", sidecar)
+
+        memo: dict = {}  # unique description string → token width
+
+        def width_of(texts):
+            missing = [t for t in texts if t not in memo]
+            if missing:
+                tok = tokenize(missing, self.context)
+                for t, w in zip(missing, np.argmax(tok, axis=-1) + 1):
+                    memo[t] = int(w)
+            return max(memo[t] for t in texts)
+
+        def compute(indices):
+            out = np.empty(len(indices), np.int32)
+            for j, i in enumerate(indices):
+                rec = self.data[i]
+                out[j] = width_of(
+                    list(rec["pos"]) + list(rec["neg_event"])
+                    + list(rec["neg_argument"])
                 )
-                tok = tokenize(texts, self.context)
-                cached[i] = int(np.max(np.argmax(tok, axis=-1))) + 1
-            self._instance_widths = cached
+            return out
+
+        cached = np.empty(len(self.data), np.int32)
+        if num_workers and num_workers > 1 and len(self.data) > 2 * num_workers:
+            # strided split: each thread sees a representative slice, and the
+            # per-string memo is shared (dict get/set are atomic under the GIL)
+            from concurrent.futures import ThreadPoolExecutor
+
+            strides = [
+                list(range(w, len(self.data), num_workers))
+                for w in range(num_workers)
+            ]
+            with ThreadPoolExecutor(num_workers) as pool:
+                for idxs, out in zip(strides, pool.map(compute, strides)):
+                    cached[idxs] = out
+        else:
+            cached = compute(range(len(self.data)))
+        self._instance_widths = cached
+
+        if key is not None:
+            try:
+                np.savez(
+                    sidecar,
+                    key=np.asarray(key, np.int64),
+                    image_ids=np.asarray(
+                        [rec["image_id"] for rec in self.data]
+                    ),
+                    widths=cached,
+                )
+            except OSError:
+                log.info("widths sidecar not writable (%s) — skipping", sidecar)
         return cached
 
     def apply_bucket(self, tensors: dict, width: int) -> dict:

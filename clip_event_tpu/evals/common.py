@@ -93,6 +93,23 @@ def set_eval_mesh(mesh) -> None:
     _EVAL_MESH = mesh
 
 
+def _to_local(x):
+    """Make a training-mesh-committed array consumable by the per-process
+    eval mesh. Arrays spanning other processes' devices cannot be
+    device_put across meshes (no cross-host transfers); a fully-replicated
+    one has its complete value in the local shard, so read that. Hit by
+    in-train validation under multi-host meshes (train.py validate_every)."""
+    if getattr(x, "is_fully_addressable", True):
+        return x
+    if getattr(x, "is_fully_replicated", False):
+        return np.asarray(x.addressable_data(0))
+    raise ValueError(
+        "eval received params sharded ACROSS processes (FSDP/ZeRO-style); "
+        "gather them first (engine.checkpoint gathers on save) or run the "
+        "eval from a replicated checkpoint"
+    )
+
+
 def _resolve_eval_mesh(batch_size: int):
     import jax
 
@@ -141,7 +158,17 @@ class Encoders:
             leaf = jax.tree.leaves(params)[0]
             s = getattr(leaf, "sharding", None)
             if not (isinstance(s, NamedSharding) and s.mesh == self._mesh):
-                params = jax.device_put(params, NamedSharding(self._mesh, P()))
+                params = jax.device_put(
+                    jax.tree.map(_to_local, params),
+                    NamedSharding(self._mesh, P()),
+                )
+        else:
+            # single-device eval on a multi-host run: params committed to the
+            # global training mesh would drag the eval jit onto it (and mix
+            # with per-process local batches) — localize them first
+            leaves = jax.tree.leaves(params)
+            if leaves and not getattr(leaves[0], "is_fully_addressable", True):
+                params = jax.tree.map(_to_local, params)
         self.params = params
         self.batch_size = batch_size
 

@@ -41,17 +41,36 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host rendezvous. No-op when single-process or already set up."""
-    if jax.process_count() > 1:
+    """Multi-host rendezvous. No-op when single-process or already set up.
+
+    Without explicit arguments, delegates to the cluster adapter
+    (`parallel.cluster.detect_cluster`): jax-native envs
+    (JAX_COORDINATOR_ADDRESS / MEGASCALE_*, which TPU pod runtimes resolve
+    themselves), then OpenMPI (OMPI_COMM_WORLD_*), then SLURM — the same
+    detection ladder as the reference's `init_distributed_mode` +
+    `MPIAdapter` (`utils.py:541-616`, `utils_MPIAdapter.py:12-144`). This is
+    the path `train.py` and every eval CLI take, so an `mpirun`/`srun`
+    launch rendezvouses with no extra flags."""
+    # already-initialized guard WITHOUT touching the XLA backend:
+    # jax.process_count() would initialize it, and jax.distributed must run
+    # before any backend use (it raises otherwise)
+    from jax._src import distributed as _jax_distributed
+
+    state = _jax_distributed.global_state
+    if getattr(state, "client", None) is not None or getattr(
+        state, "coordinator_address", None
+    ):
         return
-    explicit = coordinator_address is not None
-    env_driven = "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
-    if explicit or env_driven:
+    if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    from clip_event_tpu.parallel.cluster import initialize_from_cluster
+
+    initialize_from_cluster()
 
 
 def make_mesh(num_devices: Optional[int] = None, dcn: int = 1) -> Mesh:

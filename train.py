@@ -169,9 +169,10 @@ def main():
     if buckets:
         import numpy as np
 
-        # one-time BPE pass over every description; also tells the user what
-        # the buckets will actually buy on THIS corpus
-        widths = dataset.instance_widths()
+        # one-time BPE pass over every description (sidecar-cached, threaded
+        # over the loader's worker count); also tells the user what the
+        # buckets will actually buy on THIS corpus
+        widths = dataset.instance_widths(num_workers=int(cfg["num_workers"]))
         caps = loader.bucket_widths
         shares = [
             float(np.mean((widths <= hi) & (widths > (caps[i - 1] if i else 0))))
