@@ -42,7 +42,64 @@ log = logging.getLogger(__name__)
 IMAGE_MODULE = "image_encode.stablehlo"
 TEXT_MODULE = "text_encode.stablehlo"
 PARAMS_FILE = "params.npz"
+QUANT_PARAMS_FILE = "params_int8.npz"
 META_FILE = "meta.json"
+
+
+def _is_quant_leaf(x) -> bool:
+    from clip_event_tpu.ops.quant import QuantWeight
+
+    return isinstance(x, QuantWeight)
+
+
+def _save_quant_params(path: str, qparams) -> None:
+    """Quantized pytree → npz: leaves in `tree_flatten(is_leaf=QuantWeight)`
+    order; QuantWeight children under `<i>.q/.scale/.act`, float leaves
+    under `<i>.w` (int8 weights are 4× smaller than the float npz — the
+    serving footprint win that motivates the quantized bundle)."""
+    import jax
+
+    leaves, _ = jax.tree.flatten(qparams, is_leaf=_is_quant_leaf)
+    blob = {}
+    for i, leaf in enumerate(leaves):
+        if _is_quant_leaf(leaf):
+            blob[f"{i}.q"] = np.asarray(leaf.q)
+            blob[f"{i}.scale"] = np.asarray(leaf.scale)
+            if leaf.act_scale is not None:
+                blob[f"{i}.act"] = np.asarray(leaf.act_scale)
+        else:
+            blob[f"{i}.w"] = np.asarray(leaf)
+    np.savez(path, **blob)
+
+
+def _load_quant_params(path: str, cfg, towers):
+    """Rebuild the quantized pytree: a random-init skeleton of the SAME
+    model config quantized the same way provides the treedef (init and
+    quantization are structure-deterministic); every leaf value comes from
+    the npz."""
+    import jax
+
+    from clip_event_tpu.models import init_params
+    from clip_event_tpu.ops.quant import QuantWeight, quantize_params
+
+    skeleton = quantize_params(
+        init_params(jax.random.PRNGKey(0), cfg),
+        towers=tuple(towers) if towers else None,
+    )
+    leaves, treedef = jax.tree.flatten(skeleton, is_leaf=_is_quant_leaf)
+    with np.load(path) as npz:
+        new = []
+        for i, leaf in enumerate(leaves):
+            if _is_quant_leaf(leaf):
+                act = npz[f"{i}.act"] if f"{i}.act" in npz.files else None
+                new.append(
+                    QuantWeight(
+                        q=npz[f"{i}.q"], scale=npz[f"{i}.scale"], act_scale=act
+                    )
+                )
+            else:
+                new.append(npz[f"{i}.w"])
+    return jax.tree.unflatten(treedef, new)
 
 
 def _encoder_fns(cfg, compute_dtype) -> Tuple[Callable, Callable]:
@@ -123,16 +180,42 @@ def export_encoders(params, cfg, compute_dtype=None, platforms=("cpu", "tpu"),
 
 def save_serving_bundle(
     out_dir: str, params, cfg, compute_dtype=None, platforms=("cpu", "tpu"),
-    context=None,
+    context=None, quantize=None, quantize_towers=None, act_stats=None,
 ) -> str:
-    """Export both encoders + weights + metadata into `out_dir`."""
+    """Export both encoders + weights + metadata into `out_dir`.
+
+    `quantize`: None (float bundle) | "int8" (dynamic activation scales) |
+    "int8_static" (pass `act_stats` from `ops.quant.calibrate_act_scales`).
+    A quantized bundle's StableHLO modules are traced against the quantized
+    pytree and the weights ship as `params_int8.npz` (4× smaller) — this is
+    how the measured int8 serving win (ViT-L/14 vision 1.44–1.50×,
+    PERFORMANCE.md) reaches the AOT artifact a fleet actually deploys.
+    `quantize_towers`: e.g. ("visual",) — the measured ViT-B sweet spot."""
     import jax
 
     from clip_event_tpu.models.convert import state_dict_from_params
 
     os.makedirs(out_dir, exist_ok=True)
+    if quantize:
+        if quantize not in ("int8", "int8_static"):
+            raise ValueError(f"quantize={quantize!r}: 'int8' or 'int8_static'")
+        if quantize == "int8_static" and act_stats is None:
+            raise ValueError(
+                "quantize='int8_static' needs act_stats "
+                "(ops.quant.calibrate_act_scales)"
+            )
+        from clip_event_tpu.ops.quant import quantize_params
+
+        export_params = quantize_params(
+            params,
+            act_stats=act_stats if quantize == "int8_static" else None,
+            towers=tuple(quantize_towers) if quantize_towers else None,
+        )
+    else:
+        export_params = params
+
     image_exp, text_exp = export_encoders(
-        params, cfg, compute_dtype=compute_dtype, platforms=platforms,
+        export_params, cfg, compute_dtype=compute_dtype, platforms=platforms,
         context=context,
     )
     with open(os.path.join(out_dir, IMAGE_MODULE), "wb") as fh:
@@ -140,8 +223,13 @@ def save_serving_bundle(
     with open(os.path.join(out_dir, TEXT_MODULE), "wb") as fh:
         fh.write(text_exp.serialize())
 
-    sd = state_dict_from_params(jax.tree.map(np.asarray, params), cfg)
-    np.savez(os.path.join(out_dir, PARAMS_FILE), **sd)
+    if quantize:
+        _save_quant_params(
+            os.path.join(out_dir, QUANT_PARAMS_FILE), export_params
+        )
+    else:
+        sd = state_dict_from_params(jax.tree.map(np.asarray, params), cfg)
+        np.savez(os.path.join(out_dir, PARAMS_FILE), **sd)
 
     meta = {
         "model_config": asdict(cfg),
@@ -153,10 +241,13 @@ def save_serving_bundle(
         # the width the TEXT module was exported at — the server must
         # tokenize to exactly this many tokens (may be < the model's 77)
         "context_length": int(context) if context else cfg.context_length,
+        "quantize": quantize,
+        "quantize_towers": list(quantize_towers) if quantize_towers else None,
     }
     with open(os.path.join(out_dir, META_FILE), "w") as fh:
         json.dump(meta, fh, indent=2)
-    log.info("=> serving bundle written to %s", out_dir)
+    log.info("=> serving bundle written to %s%s", out_dir,
+             f" (quantize={quantize})" if quantize else "")
     return out_dir
 
 
@@ -191,9 +282,15 @@ def load_serving_bundle(bundle_dir: str) -> ServingModel:
     meta = json.load(open(os.path.join(bundle_dir, META_FILE)))
     mcfg = meta.get("model_config")
     cfg = CLIPConfig(**{**mcfg, "vision_layers": _vision_layers(mcfg)}) if mcfg else None
-    with np.load(os.path.join(bundle_dir, PARAMS_FILE)) as npz:
-        sd = {k: npz[k] for k in npz.files}
-    params, _ = params_from_state_dict(sd, cfg)
+    if meta.get("quantize"):
+        params = _load_quant_params(
+            os.path.join(bundle_dir, QUANT_PARAMS_FILE), cfg,
+            meta.get("quantize_towers"),
+        )
+    else:
+        with np.load(os.path.join(bundle_dir, PARAMS_FILE)) as npz:
+            sd = {k: npz[k] for k in npz.files}
+        params, _ = params_from_state_dict(sd, cfg)
     return ServingModel(image_exp, text_exp, params, meta)
 
 

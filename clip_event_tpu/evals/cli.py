@@ -56,46 +56,10 @@ def load_model_from_cfg(cfg: dict):
 
         act_stats = None
         if quant == "int8_static":
-            # Calibrate static activation scales on synthetic inputs:
-            # CLIP-normalized images are ~N(0, 1) and the fp32-island
-            # LayerNorms make downstream activation magnitudes largely
-            # data-independent, so noise images + a handful of tokenized
-            # prompts land close to real-data scales. Pass real sample
-            # batches to `ops.quant.calibrate_act_scales` programmatically
-            # for exact calibration.
-            import numpy as np
-
             from clip_event_tpu.ops.quant import calibrate_act_scales
-            from clip_event_tpu.tokenizer import tokenize
 
-            rng = np.random.default_rng(cfg.get("seed", 0))
-            n = int(cfg.get("calibration_batches", 2))
-            bs = min(int(cfg.get("batch_size", 16)), 16)
-            res = mcfg.image_resolution
-            imgs = [
-                rng.normal(size=(bs, res, res, 3)).astype(np.float32)
-                for _ in range(n)
-            ]
-            prompts = [
-                "a photo of a person", "an image of a protest march",
-                "soldiers at a military checkpoint", "a meeting of officials",
-                "a building on fire after an attack", "a crowd at a rally",
-            ]
-            if mcfg.vocab_size >= 49408:
-                toks = np.asarray(
-                    tokenize(prompts, context_length=mcfg.context_length)
-                )
-            else:  # reduced-vocab test models: synthetic token rows
-                toks = np.zeros((len(prompts), mcfg.context_length), np.int32)
-                toks[:, 0] = mcfg.vocab_size - 2
-                toks[:, 1:8] = rng.integers(
-                    1, mcfg.vocab_size - 2, (len(prompts), 7)
-                )
-                toks[:, 8] = mcfg.vocab_size - 1
-            logging.info(
-                "calibrating static int8 activation scales (%d image batches)", n
-            )
-            act_stats = calibrate_act_scales(params, mcfg, imgs, [toks])
+            imgs, toks = calibration_batches_from_cfg(cfg, mcfg)
+            act_stats = calibrate_act_scales(params, mcfg, imgs, toks)
         towers = cfg.get("quantize_towers")  # e.g. ["visual"] — the measured
         # sweet spot: static-int8 vision (+12–18%) with the text tower left
         # in bf16 (where int8 measures slower, PERFORMANCE.md)
@@ -107,6 +71,90 @@ def load_model_from_cfg(cfg: dict):
             params, act_stats=act_stats, towers=tuple(towers) if towers else None
         )
     return params, mcfg
+
+
+def calibration_batches_from_cfg(cfg: dict, mcfg):
+    """Sample batches for static-int8 activation calibration.
+
+    REAL samples when the config provides them (the documented-better path,
+    PERFORMANCE.md "static calibrated activation scales"):
+      * `calibration_images`: a directory (or list of files) of images —
+        decoded through the exact serving preprocess;
+      * `calibration_texts`: a text file, one prompt per line.
+
+    Synthetic fallback otherwise: CLIP-normalized images are ~N(0, 1) and
+    the fp32-island LayerNorms make downstream activation magnitudes largely
+    data-independent, so noise images + a handful of tokenized prompts land
+    close to real-data scales (cosine > 0.99 measured on disjoint real
+    JPEGs, tests/test_full_scale.py) — but real weights carry activation
+    outliers random init does not, so prefer real batches for deployment.
+
+    Returns (image_batches, token_batches) for `calibrate_act_scales`.
+    """
+    import numpy as np
+
+    from clip_event_tpu.tokenizer import tokenize
+
+    rng = np.random.default_rng(cfg.get("seed", 0))
+    bs = min(int(cfg.get("batch_size", 16)), 16)
+    res = mcfg.image_resolution
+
+    src = cfg.get("calibration_images")
+    if src:
+        from clip_event_tpu.data.common import load_image_file
+
+        files = (
+            sorted(
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if f.lower().endswith((".jpg", ".jpeg", ".png"))
+            )
+            if isinstance(src, str)
+            else list(src)
+        )
+        if not files:
+            raise ValueError(f"calibration_images: no images under {src!r}")
+        arr = np.stack([load_image_file(f, res) for f in files])
+        imgs = [arr[i : i + bs] for i in range(0, len(arr), bs)]
+        logging.info(
+            "int8 calibration: %d REAL images from %s", len(arr), src
+        )
+    else:
+        n = int(cfg.get("calibration_batches", 2))
+        imgs = [
+            rng.normal(size=(bs, res, res, 3)).astype(np.float32)
+            for _ in range(n)
+        ]
+        logging.info(
+            "int8 calibration: %d synthetic image batches (pass "
+            "`calibration_images` for exact scales)", n
+        )
+
+    texts_src = cfg.get("calibration_texts")
+    if texts_src:
+        prompts = [
+            line.strip() for line in open(texts_src, encoding="utf-8")
+            if line.strip()
+        ]
+        if not prompts:
+            raise ValueError(f"calibration_texts: {texts_src!r} is empty")
+        logging.info("int8 calibration: %d REAL prompts from %s",
+                     len(prompts), texts_src)
+    else:
+        prompts = [
+            "a photo of a person", "an image of a protest march",
+            "soldiers at a military checkpoint", "a meeting of officials",
+            "a building on fire after an attack", "a crowd at a rally",
+        ]
+    if mcfg.vocab_size >= 49408:
+        toks = np.asarray(tokenize(prompts, context_length=mcfg.context_length))
+    else:  # reduced-vocab test models: synthetic token rows
+        toks = np.zeros((len(prompts), mcfg.context_length), np.int32)
+        toks[:, 0] = mcfg.vocab_size - 2
+        toks[:, 1:8] = rng.integers(1, mcfg.vocab_size - 2, (len(prompts), 7))
+        toks[:, 8] = mcfg.vocab_size - 1
+    token_batches = [toks[i : i + bs] for i in range(0, len(toks), bs)]
+    return imgs, token_batches
 
 
 def run(description: str, evaluate) -> None:

@@ -72,6 +72,22 @@ class QuantWeight:
         return self.q.dtype
 
 
+# jax.export serializes the exported function's in_tree — QuantWeight must
+# be registered for PyTreeDef serialization so quantized serving bundles can
+# be written (engine/export.py). Auxdata is the `has_act` bool.
+try:
+    from jax import export as _jex
+
+    _jex.register_pytree_node_serialization(
+        QuantWeight,
+        serialized_name="clip_event_tpu.QuantWeight",
+        serialize_auxdata=lambda has_act: bytes([int(bool(has_act))]),
+        deserialize_auxdata=lambda b: bool(b[0]),
+    )
+except (ImportError, ValueError):  # ValueError: already registered (reload)
+    pass
+
+
 def quantize_weight(
     w: jnp.ndarray, act_absmax: Optional[jnp.ndarray] = None
 ) -> QuantWeight:

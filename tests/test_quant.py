@@ -301,7 +301,7 @@ def test_eval_cli_accepts_quantize_static(tmp_path):
         env=dict(os.environ, JAX_PLATFORMS="cpu"),
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "calibrating static int8" in proc.stderr
+    assert "int8 calibration" in proc.stderr
     metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert "i2t_top1" in metrics
 
