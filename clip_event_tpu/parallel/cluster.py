@@ -11,13 +11,16 @@ launches:
           → OpenMPI (OMPI_COMM_WORLD_*) → SLURM (SLURM_PROCID/NODELIST)
           → single process.
 
-Deliberately dropped from the reference: the Philly, AMLK8S/ITP, and AML
-rendezvous branches (`utils_MPIAdapter.py:43-98`) — Azure-internal cluster
-stacks that were retired years before this rebuild and whose detection
-relied on files (`/dlts-runtime/env/init.env`) and env vars
-(`AZ_BATCH_MASTER_NODE`) those platforms injected. A deployment on a
-comparable scheduler should export the explicit JAX_COORDINATOR_* env
-(first branch) from its launcher instead.
+Under OpenMPI the master address resolves through the reference's full
+sub-environment ladder (`utils_MPIAdapter.py:43-98`): MASTER_ADDR env →
+Philly (PHILLY_CONTAINER_IP on rank 0, mpi4py-broadcast) → AMLK8S/ITP
+(worker-0 IP from the shared `/dlts-runtime/env/init.env`, with the
+single-node debugging fallback) → AML (`AZ_BATCH_MASTER_NODE`) →
+single-node loopback → hostfile → generic multi-node (`hostname -I` on
+rank 0, mpi4py-broadcast). The two broadcast branches need mpi4py exactly
+as the reference does (`utils_MPIAdapter.py:3`); it is an OPTIONAL import
+here — without it those branches raise with instructions to export
+MASTER_ADDR from the launcher instead.
 """
 
 from __future__ import annotations
@@ -53,9 +56,8 @@ def detect_cluster() -> ClusterSpec:
     if "OMPI_COMM_WORLD_SIZE" in env:  # OpenMPI (utils_MPIAdapter.py:24-38)
         size = int(env["OMPI_COMM_WORLD_SIZE"])
         rank = int(env["OMPI_COMM_WORLD_RANK"])
-        addr = env.get("MASTER_ADDR") or _first_host(env.get("OMPI_MCA_orte_default_hostfile"))
-        port = env.get("MASTER_PORT", _DEFAULT_PORT)
-        return ClusterSpec(f"{addr}:{port}" if addr else None, size, rank, "openmpi")
+        addr, port, source = _resolve_mpi_master(env, size, rank)
+        return ClusterSpec(f"{addr}:{port}" if addr else None, size, rank, source)
 
     if "SLURM_PROCID" in env:  # SLURM (reference utils.py:560-575)
         size = int(env.get("SLURM_NTASKS", "1"))
@@ -74,6 +76,91 @@ def detect_cluster() -> ClusterSpec:
         return ClusterSpec(f"{addr}:{port}" if addr else None, size, rank, "slurm")
 
     return ClusterSpec(None, 1, 0, "local")
+
+
+# AMLK8S (ITP) writes the worker-0 IP into this per-node file
+# (utils_MPIAdapter.py:55-73, regex from k8s-wiki.azureml.com/faq.html);
+# overridable for tests.
+ITP_ENV_FILE = "/dlts-runtime/env/init.env"
+
+
+def _mpi_bcast(value, rank: int):
+    """Broadcast rank 0's value exactly as the reference does
+    (`MPI.COMM_WORLD.bcast`, utils_MPIAdapter.py:53-54, 97-98). mpi4py is an
+    optional dependency — raise actionably when the environment needs a
+    broadcast but can't perform one."""
+    try:
+        from mpi4py import MPI  # type: ignore
+    except ImportError:
+        raise RuntimeError(
+            "this MPI environment needs rank 0's address broadcast "
+            "(mpi4py in the reference, utils_MPIAdapter.py:3) but mpi4py is "
+            "not installed — export MASTER_ADDR/MASTER_PORT from the "
+            "launcher instead"
+        ) from None
+    return MPI.COMM_WORLD.bcast(value, root=0)
+
+
+def _resolve_mpi_master(env, size: int, rank: int):
+    """(addr, port, source) under OpenMPI — the reference's sub-environment
+    ladder (utils_MPIAdapter.py:43-98)."""
+    local_size = int(env.get("OMPI_COMM_WORLD_LOCAL_SIZE", "1"))
+    port = env.get("MASTER_PORT", _DEFAULT_PORT)
+
+    if env.get("MASTER_ADDR"):
+        return env["MASTER_ADDR"], port, "openmpi"
+
+    if "PHILLY_CONTAINER_IP" in env:  # utils_MPIAdapter.py:43-54
+        pair = (
+            (env["PHILLY_CONTAINER_IP"],
+             env.get("PHILLY_CONTAINER_PORT_RANGE_START", port))
+            if rank == 0 else None
+        )
+        addr, port = _mpi_bcast(pair, rank) if size > 1 else pair
+        return addr, port, "openmpi/philly"
+
+    if "AMLK8S_NUM_WORKER" in env or "AZ_CMK8S_JOB_WORK_DIR" in env:
+        # AMLK8S (ITP), utils_MPIAdapter.py:55-73: worker-0 IP from the
+        # per-node init.env file; single-node debugging fallback otherwise
+        import re
+
+        path = env.get("CLIP_EVENT_ITP_ENV_FILE", ITP_ENV_FILE)
+        match = None
+        if os.path.exists(path):
+            with open(path) as fh:
+                match = re.match(
+                    r"[\s\S]*export[\s]*DLTS_SD_worker0_IP=([0-9.]+)[\s|s]*",
+                    fh.read(),
+                )
+        if match:
+            return match.group(1), port, "openmpi/itp"
+        if size != local_size:
+            raise RuntimeError(
+                f"AMLK8S (ITP) multi-node job but no worker-0 IP in {path} "
+                "(reference asserts the same, utils_MPIAdapter.py:69-71)"
+            )
+        return "127.0.0.1", port, "openmpi/itp-single-node"
+
+    if "AZ_BATCH_MASTER_NODE" in env:  # multi-node AML, :74-79
+        return env["AZ_BATCH_MASTER_NODE"].split(":")[0], port, "openmpi/aml"
+
+    if size == local_size:  # single node, :80-84
+        return "127.0.0.1", port, "openmpi/single-node"
+
+    addr = _first_host(env.get("OMPI_MCA_orte_default_hostfile"))
+    if addr:
+        return addr, port, "openmpi"
+
+    # generic multi-node MPI: rank 0 resolves its own address, :85-98
+    if rank == 0:
+        out = subprocess.run(
+            ["hostname", "-I"], capture_output=True, text=True, timeout=10
+        ).stdout
+        pair = (out.split()[0], port) if out.split() else (None, port)
+    else:
+        pair = None
+    addr, port = _mpi_bcast(pair, rank)
+    return addr, port, "openmpi/multi-node"
 
 
 def _first_host(hostfile: Optional[str]) -> Optional[str]:

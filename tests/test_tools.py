@@ -42,6 +42,73 @@ def test_cluster_detection(monkeypatch):
     assert spec.source == "slurm" and spec.num_processes == 8
 
 
+def test_cluster_azure_branches(monkeypatch, tmp_path):
+    """The reference MPIAdapter's Azure sub-environments
+    (utils_MPIAdapter.py:43-98): ITP worker-0 IP from the shared init.env
+    (+ single-node debugging fallback), multi-node AML via
+    AZ_BATCH_MASTER_NODE, single-node MPI loopback, and the broadcast
+    branches' actionable failure without mpi4py."""
+    import pytest
+
+    for var in ("MASTER_ADDR", "SLURM_PROCID", "JAX_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "8")
+    monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "3")
+    monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_SIZE", "4")
+
+    # AMLK8S (ITP): worker-0 IP parsed from the init.env file
+    env_file = tmp_path / "init.env"
+    env_file.write_text("foo=bar\nexport DLTS_SD_worker0_IP=10.1.2.3\n")
+    monkeypatch.setenv("AMLK8S_NUM_WORKER", "2")
+    monkeypatch.setenv("CLIP_EVENT_ITP_ENV_FILE", str(env_file))
+    spec = detect_cluster()
+    assert spec.source == "openmpi/itp"
+    assert spec.coordinator_address == "10.1.2.3:9010"
+
+    # ITP multi-node with no IP in the file → error (reference asserts too)
+    env_file.write_text("export OTHER=1\n")
+    with pytest.raises(RuntimeError, match="no worker-0 IP"):
+        detect_cluster()
+    # ITP single-node debugging job (world == local) → loopback
+    monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_SIZE", "8")
+    spec = detect_cluster()
+    assert spec.source == "openmpi/itp-single-node"
+    assert spec.coordinator_address == "127.0.0.1:9010"
+    monkeypatch.delenv("AMLK8S_NUM_WORKER")
+    monkeypatch.delenv("CLIP_EVENT_ITP_ENV_FILE")
+
+    # multi-node AML: AZ_BATCH_MASTER_NODE host:port
+    monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_SIZE", "4")
+    monkeypatch.setenv("AZ_BATCH_MASTER_NODE", "10.9.8.7:6000")
+    spec = detect_cluster()
+    assert spec.source == "openmpi/aml"
+    assert spec.coordinator_address == "10.9.8.7:9010"
+    monkeypatch.delenv("AZ_BATCH_MASTER_NODE")
+
+    # single-node MPI (world == local)
+    monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_SIZE", "8")
+    spec = detect_cluster()
+    assert spec.source == "openmpi/single-node"
+    assert spec.coordinator_address == "127.0.0.1:9010"
+
+    # Philly needs an mpi4py broadcast; without it the error says what to do
+    monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_SIZE", "4")
+    monkeypatch.setenv("PHILLY_CONTAINER_IP", "10.5.5.5")
+    try:
+        import mpi4py  # noqa: F401
+
+        has_mpi = True
+    except ImportError:
+        has_mpi = False
+    if has_mpi:
+        monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "0")
+        spec = detect_cluster()
+        assert spec.coordinator_address.startswith("10.5.5.5:")
+    else:
+        with pytest.raises(RuntimeError, match="MASTER_ADDR"):
+            detect_cluster()
+
+
 def test_gather_features_grad_restores_local_shard():
     """all_gather(tiled) inside shard_map: grads flow only to local rows —
     the semantics of the reference gather_tensors (utils.py:192-206)."""
