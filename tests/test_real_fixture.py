@@ -276,3 +276,30 @@ def test_templates_cover_every_corpus_type():
             assert text.count(f"<arg{i + 1}>") <= 1
         for m in re.finditer(r"<arg(\d+)>", text):  # no slot beyond the roles
             assert int(m.group(1)) <= len(roles)
+
+
+def test_visualization_roundtrips_real_ie(records, fixture_dir, tmp_path):
+    """L7 closure on real data: our visualization renderer consumes the
+    mined .cs files (which the miner inverted FROM the reference's
+    visualization pages) and reproduces the known record's events,
+    trigger, and argument names in its own HTML."""
+    from clip_event_tpu.preprocess.selection import preprocess_caption
+    from clip_event_tpu.tools.visualization import render_ie_pages
+
+    caps = preprocess_caption(
+        [os.path.join(fixture_dir, "image_caption_mapping.json")]
+    )
+    out = tmp_path / "viz"
+    shown = render_ie_pages(
+        [os.path.join(fixture_dir, "edl.cs")],
+        [os.path.join(fixture_dir, "event.cs")],
+        str(out), captions=caps,
+    )
+    assert shown == len(records)
+    html = "".join(
+        open(os.path.join(out, f)).read() for f in sorted(os.listdir(out))
+    )
+    assert "Conflict.Attack" in html
+    assert "GenericCrime.GenericCrime.GenericCrime" in html
+    assert "Nidhi Chaphekar" in html  # argument canonical mention
+    assert "lays a rose on a memorial" in html  # caption context
