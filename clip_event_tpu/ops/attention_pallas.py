@@ -36,6 +36,22 @@ from jax.experimental.pallas import tpu as pltpu
 from clip_event_tpu.ops.pallas_util import interpret_off_tpu as _interpret_here
 from clip_event_tpu.ops.pallas_util import round_up as _round_up
 
+
+def _out_struct(shape, dtype, like):
+    """ShapeDtypeStruct carrying `like`'s varying-mesh-axes (vma).
+
+    Inside a vma-checked `jax.shard_map` body (e.g. the pipeline schedule,
+    `parallel/pipeline.py`) pallas_call outputs must declare how they vary
+    over the manual mesh axes; the kernels are elementwise over the batch
+    axis, so the output varies exactly like the packed QKV input."""
+    try:
+        vma = getattr(jax.typeof(like), "vma", None)
+    except Exception:
+        vma = None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
 # batched dot_general helpers over a leading batch axis
 _QKT = (((2,), (2,)), ((0,), (0,)))  # [N,S,D]·[N,S,D]  → [N,S,S]
 _PV = (((2,), (1,)), ((0,), (0,)))  # [N,S,S]·[N,S,D]  → [N,S,D]
@@ -259,7 +275,7 @@ def _fused_qkv_fwd(qkv, bias, num_heads, scale, interpret):
             pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, S, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qp.shape[0], S, width), qkv.dtype),
+        out_shape=_out_struct((qp.shape[0], S, width), qkv.dtype, qp),
         interpret=interpret,
     )(qp, b)
     return out[:B], (qkv, bias)
@@ -281,7 +297,7 @@ def _fused_qkv_bwd(num_heads, scale, interpret, residuals, g):
             pl.BlockSpec((tb, S, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, S, 3 * width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qp.shape[0], S, 3 * width), qkv.dtype),
+        out_shape=_out_struct((qp.shape[0], S, 3 * width), qkv.dtype, qp),
         interpret=interpret,
     )(qp, b, gp)
     return dqkv[:B], None
@@ -515,7 +531,7 @@ def _hg_fwd(qkv, bias, num_heads, scale, interpret):
         grid=(qp.shape[0] // tb, width // _HG_LANES),
         in_specs=[qs, ks, vs, bs],
         out_specs=os,
-        out_shape=jax.ShapeDtypeStruct((qp.shape[0], S, width), qkv.dtype),
+        out_shape=_out_struct((qp.shape[0], S, width), qkv.dtype, qp),
         interpret=interpret,
     )(qp, qp, qp, b)
     return out[:B], (qkv, bias)
@@ -530,7 +546,7 @@ def _hg_bwd(num_heads, scale, interpret, residuals, g):
     gp = g if bp == B else jnp.pad(g, [(0, bp - B), (0, 0), (0, 0)])
     qs, ks, vs, bs, os = _hg_specs(tb, S, width)
     kernel = functools.partial(_hg_bwd_kernel, heads=heads, scale=scale)
-    shape = jax.ShapeDtypeStruct((bp, S, width), qkv.dtype)
+    shape = _out_struct((bp, S, width), qkv.dtype, qp)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(bp // tb, width // _HG_LANES),

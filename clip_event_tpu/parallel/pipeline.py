@@ -5,8 +5,12 @@ parallelism is DDP data parallelism, `train.py:222-225`; SURVEY §2.7 lists
 pp as explicitly absent). Here the towers' stacked [L, ...] parameter layout
 makes pp natural: the L axis is sharded over a 'pp' mesh axis (each device
 holds L/pp contiguous layers), and the forward runs a GPipe schedule inside
-`jax.shard_map` — manual over 'pp' only, so GSPMD keeps auto-sharding the
-batch over 'dp' inside the pipeline body:
+`jax.shard_map`. With the fused pallas kernels requested and the batch
+divisible by dp the shard_map is manual over BOTH {pp, dp} — each device's
+body sees its local batch shard, so the kernels run directly on it;
+otherwise it is manual over 'pp' only and GSPMD keeps auto-sharding the
+batch over 'dp' inside the pipeline body (einsum attention — a pallas
+custom call cannot be GSPMD-partitioned):
 
   tick t:  stage 0 injects microbatch t; every stage runs its L/pp layers on
            its current activation block; activations rotate stage→stage+1 via
@@ -99,10 +103,12 @@ def pipelined_transformer(
     """GPipe forward/backward over the 'pp' mesh axis.
 
     Drop-in for `layers.transformer` when the stacked params' L axis is
-    sharded over 'pp' (`shard_params_pp`). x: [B, S, W]; the dp sharding of
-    the batch (if any) passes straight through — shard_map here is manual
-    over 'pp' ONLY, and GSPMD keeps partitioning the per-stage compute over
-    'dp' inside the body.
+    sharded over 'pp' (`shard_params_pp`). x: [B, S, W]. Dispatch on the
+    batch axis: with pallas kernels requested and B divisible by dp the
+    shard_map goes manual over {pp, dp} (`manual_dp` — local shards, kernels
+    active, microbatches split the PER-DEVICE batch); otherwise manual over
+    'pp' only, with GSPMD partitioning the per-stage compute over 'dp'
+    inside the body (einsum attention).
     """
     from clip_event_tpu.models import layers as L
 
@@ -111,22 +117,33 @@ def pipelined_transformer(
     if pp == 1 or Ltot % pp:
         raise ValueError(f"layers={Ltot} not divisible by pp={pp}")
     B, S, W = x.shape
-    M = _pick_microbatches(B, microbatches)
-    mb = B // M
 
     dp = dict(mesh.shape).get(DATA_AXIS, 1)
     kind, amesh = (impl, None) if isinstance(impl, str) or impl is None else impl
+    lkind = ln if isinstance(ln, str) or ln is None else ln[0]
+    # GSPMD cannot partition a pallas custom call, so a kernel inside a
+    # pp-manual/dp-auto body would block the batch sharding. The fix is to
+    # make the batch axis MANUAL too: shard_map over {pp, dp} hands each
+    # device its local [B/dp] shard and the fused kernels run directly on
+    # it (bitwise-identical per-example math — the tower has no cross-batch
+    # collectives). Requires the global batch to divide dp; otherwise fall
+    # back to dp-auto with the einsum path (GSPMD partitions that).
+    manual_dp = dp > 1 and B % dp == 0 and (kind == "pallas" or lkind == "pallas")
+    local_B = B // dp if manual_dp else B
+    M = _pick_microbatches(local_B, microbatches)
+    mb = local_B // M
+
     if kind == "pallas":
-        # inside the pp-manual body the fused kernel can be called directly
-        # only when nothing else needs partitioning; with dp>1 the custom
-        # call would block GSPMD's batch sharding, so use the einsum path
-        # (which GSPMD partitions over dp) — see tests/test_pipeline.py
-        inner_impl = ("pallas", None) if dp == 1 else "xla"
+        inner_impl = ("pallas", None) if dp == 1 or manual_dp else "xla"
     else:
         inner_impl = "xla"
-    # same reasoning for the fused LN kernels
-    lkind = ln if isinstance(ln, str) or ln is None else ln[0]
-    inner_ln = ("pallas", None) if lkind == "pallas" and dp == 1 else "xla"
+    # same dispatch rule for the fused LN kernels
+    inner_ln = ("pallas", None) if lkind == "pallas" and (dp == 1 or manual_dp) else "xla"
+    manual_axes = (PIPE_AXIS, DATA_AXIS) if manual_dp else (PIPE_AXIS,)
+    # vma checking is off on the manual-dp path for the same reason as
+    # ops/attention_pallas.sharded_attention: pallas_call bodies don't
+    # track varying-mesh-axes (interpret mode rejects the mixed avals).
+    check_vma = not manual_dp
 
     def body(x_full, params_local):
         idx = jax.lax.axis_index(PIPE_AXIS)
@@ -138,7 +155,11 @@ def pipelined_transformer(
                 remat=remat, unroll=unroll, impl=inner_impl, ln=inner_ln,
             )
 
-        varying = lambda a: jax.lax.pcast(a, (PIPE_AXIS,), to="varying")  # noqa: E731
+        varying = (  # noqa: E731
+            (lambda a: jax.lax.pcast(a, manual_axes, to="varying"))
+            if check_vma
+            else (lambda a: a)
+        )
         state = varying(jnp.zeros((mb, S, W), x_full.dtype))
         buf = varying(jnp.zeros((M, mb, S, W), x_full.dtype))
 
@@ -172,13 +193,15 @@ def pipelined_transformer(
         out = jax.lax.psum(
             jnp.where(idx == pp - 1, buf, jnp.zeros_like(buf)), PIPE_AXIS
         )
-        return out.reshape(B, S, W)
+        return out.reshape(local_B, S, W)
 
     pspec = jax.tree.map(lambda _: P(PIPE_AXIS), stacked_params)
+    xspec = P(DATA_AXIS) if manual_dp else P()
     return jax.shard_map(
         body,
         mesh=mesh,
-        axis_names={PIPE_AXIS},
-        in_specs=(P(), pspec),
-        out_specs=P(),
+        axis_names=set(manual_axes),
+        in_specs=(xspec, pspec),
+        out_specs=xspec,
+        check_vma=check_vma,
     )(x, stacked_params)

@@ -278,16 +278,26 @@ def main():
         log.info("mesh: dp=%d x pp=%d (GPipe layer sharding, M=%d)",
                  mesh.devices.shape[0], pp, int(cfg["pp_microbatches"]))
         if mesh.devices.shape[0] > 1 and cfg["use_pallas_attention"]:
-            # inside the pp-manual body a pallas custom call would block
-            # GSPMD's dp batch sharding, so the towers silently run the
-            # einsum/XLA attention there (parallel/pipeline.py) — forfeit
-            # the kernel's measured ~45% single-chip win. Make that visible.
-            log.warning(
-                "pp=%d with dp=%d forces the einsum/XLA attention path "
-                "inside pipeline stages (the fused pallas kernel cannot be "
-                "GSPMD-partitioned over dp within the pp-manual body); "
-                "expect a slower step than a pure dp/tp mesh — see "
-                "configs/README.md", pp, mesh.devices.shape[0])
+            # the pipeline body goes manual over BOTH pp and dp when the
+            # global batch divides dp, so the fused kernel runs on each
+            # device's local shard (parallel/pipeline.py manual_dp); when
+            # the batch does NOT divide dp it falls back to dp-auto with the
+            # einsum path — forfeit the kernel's measured ~45% single-chip
+            # win. Make whichever happens visible.
+            ndp = mesh.devices.shape[0]
+            if int(cfg["batch_size"]) % ndp:
+                log.warning(
+                    "pp=%d with dp=%d and batch_size=%d (not a multiple of "
+                    "dp) forces the einsum/XLA attention path inside "
+                    "pipeline stages (the fused pallas kernel needs the "
+                    "batch sharded manually over dp); expect a slower step — "
+                    "pick a batch divisible by %d or see configs/README.md",
+                    pp, ndp, int(cfg["batch_size"]), ndp)
+            else:
+                log.info(
+                    "pp=%d x dp=%d: pipeline stages run manual over both "
+                    "axes — the fused pallas attention kernel stays active "
+                    "on each device's local batch shard", pp, ndp)
     else:
         mesh = make_mesh(dcn=dcn)
         if dcn > 1:
