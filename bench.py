@@ -56,6 +56,33 @@ STEPS_PER_CALL = 10
 MEASURE_CALLS = 3
 
 
+def _hb(msg: str) -> None:
+    """Stage heartbeat on stderr, so a driver-side timeout is diagnosable
+    (round-4's BENCH_r04.json was rc=124 with no clue which stage overran)."""
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _report_stragglers() -> None:
+    """The TPU here is single-client: any other live python-with-jax process
+    can wedge this one's attach indefinitely. Report (never kill) candidates
+    before attaching, so a hang names its likely cause."""
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,etime,args"], capture_output=True, text=True,
+            timeout=10,
+        ).stdout
+    except Exception:
+        return
+    me = os.getpid()
+    for line in out.splitlines()[1:]:
+        parts = line.split(None, 2)
+        if len(parts) < 3 or "python" not in parts[2]:
+            continue
+        if int(parts[0]) == me or "ps -eo" in parts[2]:
+            continue
+        _hb(f"straggler candidate (may hold the single-client TPU): {line.strip()[:160]}")
+
+
 def _wait_for_backend(attempts: int = 4, probe_timeout: int = 240) -> None:
     """Fail fast (exit 3) instead of hanging when the TPU is unreachable.
 
@@ -89,7 +116,13 @@ def _wait_for_backend(attempts: int = 4, probe_timeout: int = 240) -> None:
 
 
 def main():
+    _report_stragglers()
+    _hb("probing TPU backend reachability")
     _wait_for_backend()
+    _hb("backend reachable; attaching")
+    from clip_event_tpu.platform import enable_compilation_cache
+
+    enable_compilation_cache()  # warm re-runs skip the 1-3 min tunnel compile
     import jax
     import jax.numpy as jnp
 
@@ -107,6 +140,7 @@ def main():
 
     cfg = model_config({"model": BENCH_MODEL})
     n_chips = len(jax.devices())
+    _hb(f"attached: {n_chips} device(s), {jax.devices()[0].platform}")
     mesh = make_mesh(n_chips)
     # flagship config: fused packed-QKV pallas attention (339→239 ms/step)
     set_attention_impl("pallas", mesh)
@@ -162,12 +196,15 @@ def main():
     # compile + warmup; the float() fetch is a HARD sync (on the remote axon
     # platform block_until_ready can return before execution completes, so
     # timed regions must chain state and end with a host value fetch)
+    _hb("compiling + warmup call (cold: 1-3 min through the tunnel)")
     state, metrics = run_k(state, batch)
     float(metrics["loss"][-1])
+    _hb("compile done; measuring")
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_CALLS):
+    for i in range(MEASURE_CALLS):
         state, metrics = run_k(state, batch)
+        _hb(f"measure call {i + 1}/{MEASURE_CALLS} dispatched")
     last_loss = float(metrics["loss"][-1])  # hard sync; depends on every call
     dt = (time.perf_counter() - t0) / (MEASURE_CALLS * STEPS_PER_CALL)
 

@@ -92,6 +92,8 @@ def _mpi_bcast(value, rank: int):
     try:
         from mpi4py import MPI  # type: ignore
     except ImportError:
+        MPI = None
+    if MPI is None:  # missing, or an unusable/stubbed install
         raise RuntimeError(
             "this MPI environment needs rank 0's address broadcast "
             "(mpi4py in the reference, utils_MPIAdapter.py:3) but mpi4py is "

@@ -16,13 +16,18 @@ from clip_event_tpu.engine.optim import build_optimizer, build_schedule  # noqa:
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 @pytest.mark.parametrize("name", ["warmup", "warmupmultisteplr"])
-def test_warmup_schedules_match_reference(name):
+def test_warmup_schedules_match_reference(name, monkeypatch):
     torch = pytest.importorskip("torch")
-    # reference utils.py pulls in utils_MPIAdapter → mpi4py; stub it out
+    # reference utils.py pulls in utils_MPIAdapter → mpi4py; stub it out.
+    # Scoped via monkeypatch: a bare sys.modules.setdefault leaked the stub
+    # (MPI = None) into later tests, flipping test_cluster_azure_branches
+    # onto the has-mpi4py path in full-suite order (round-4 verdict).
     import types
 
-    sys.modules.setdefault("mpi4py", types.ModuleType("mpi4py"))
-    sys.modules["mpi4py"].MPI = None
+    if "mpi4py" not in sys.modules:
+        stub = types.ModuleType("mpi4py")
+        stub.MPI = None
+        monkeypatch.setitem(sys.modules, "mpi4py", stub)
     sys.path.insert(0, REFERENCE_DIR)
     try:
         import utils as ref_utils

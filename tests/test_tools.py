@@ -95,9 +95,13 @@ def test_cluster_azure_branches(monkeypatch, tmp_path):
     monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_SIZE", "4")
     monkeypatch.setenv("PHILLY_CONTAINER_IP", "10.5.5.5")
     try:
-        import mpi4py  # noqa: F401
+        # Probe usability, not just importability: a test elsewhere may have
+        # stubbed `mpi4py` in sys.modules (with MPI = None) to import the
+        # reference's utils — that stub must route us to the no-mpi branch,
+        # exactly as cluster._mpi_bcast's `from mpi4py import MPI` would fail.
+        from mpi4py import MPI as _MPI  # noqa: N811
 
-        has_mpi = True
+        has_mpi = _MPI is not None
     except ImportError:
         has_mpi = False
     if has_mpi:
