@@ -72,11 +72,50 @@ def _save_quant_params(path: str, qparams) -> None:
     np.savez(path, **blob)
 
 
+def _tree_manifest(qparams):
+    """JSON-serializable mirror of the quantized pytree: the same nested
+    dicts with each leaf replaced by its kind ("quant" | "array"). Stored in
+    meta.json so `load_serving_bundle` can rebuild the treedef WITHOUT the
+    model package (params are plain nested dicts, so the manifest round-trips
+    through JSON; jax flattens dicts in sorted-key order on both sides)."""
+    import jax
+
+    return jax.tree.map(
+        lambda leaf: "quant" if _is_quant_leaf(leaf) else "array",
+        qparams,
+        is_leaf=_is_quant_leaf,
+    )
+
+
+def _load_quant_params_from_manifest(path: str, manifest):
+    """Rebuild the quantized pytree from the meta.json manifest + npz —
+    no model code needed (the treedef comes from the manifest itself)."""
+    import jax
+
+    from clip_event_tpu.ops.quant import QuantWeight
+
+    kinds, treedef = jax.tree.flatten(manifest)
+    with np.load(path) as npz:
+        new = []
+        for i, kind in enumerate(kinds):
+            if kind == "quant":
+                act = npz[f"{i}.act"] if f"{i}.act" in npz.files else None
+                new.append(
+                    QuantWeight(
+                        q=npz[f"{i}.q"], scale=npz[f"{i}.scale"], act_scale=act
+                    )
+                )
+            else:
+                new.append(npz[f"{i}.w"])
+    return jax.tree.unflatten(treedef, new)
+
+
 def _load_quant_params(path: str, cfg, towers):
-    """Rebuild the quantized pytree: a random-init skeleton of the SAME
-    model config quantized the same way provides the treedef (init and
-    quantization are structure-deterministic); every leaf value comes from
-    the npz."""
+    """Legacy fallback (bundles written before the meta.json manifest):
+    rebuild the quantized pytree from a random-init skeleton of the SAME
+    model config quantized the same way (init and quantization are
+    structure-deterministic); every leaf value comes from the npz. Requires
+    the model package — new bundles carry the manifest instead."""
     import jax
 
     from clip_event_tpu.models import init_params
@@ -243,6 +282,9 @@ def save_serving_bundle(
         "context_length": int(context) if context else cfg.context_length,
         "quantize": quantize,
         "quantize_towers": list(quantize_towers) if quantize_towers else None,
+        # treedef manifest: lets load_serving_bundle rebuild a quantized
+        # pytree without importing the model package (see _tree_manifest)
+        "params_tree": _tree_manifest(export_params) if quantize else None,
     }
     with open(os.path.join(out_dir, META_FILE), "w") as fh:
         json.dump(meta, fh, indent=2)
@@ -269,7 +311,10 @@ class ServingModel:
 
 def load_serving_bundle(bundle_dir: str) -> ServingModel:
     """Deserialize a bundle; needs only jax + the weight converter (no model
-    code is traced — the StableHLO module IS the model)."""
+    code is traced — the StableHLO module IS the model). Quantized bundles
+    rebuild their pytree from the meta.json `params_tree` manifest (no model
+    package at all); only pre-manifest quantized bundles fall back to the
+    init_params skeleton."""
     from jax import export as jex
 
     from clip_event_tpu.models.clip import CLIPConfig
@@ -283,10 +328,13 @@ def load_serving_bundle(bundle_dir: str) -> ServingModel:
     mcfg = meta.get("model_config")
     cfg = CLIPConfig(**{**mcfg, "vision_layers": _vision_layers(mcfg)}) if mcfg else None
     if meta.get("quantize"):
-        params = _load_quant_params(
-            os.path.join(bundle_dir, QUANT_PARAMS_FILE), cfg,
-            meta.get("quantize_towers"),
-        )
+        qpath = os.path.join(bundle_dir, QUANT_PARAMS_FILE)
+        if meta.get("params_tree") is not None:
+            params = _load_quant_params_from_manifest(
+                qpath, meta["params_tree"]
+            )
+        else:  # pre-manifest bundle: needs the model package for the treedef
+            params = _load_quant_params(qpath, cfg, meta.get("quantize_towers"))
     else:
         with np.load(os.path.join(bundle_dir, PARAMS_FILE)) as npz:
             sd = {k: npz[k] for k in npz.files}
