@@ -4,8 +4,13 @@ ACL 2020; the CVPR'22 CLIP-Event zero-shot numbers use the same protocol —
 see clip_event_tpu/evals/m2e2.py for the formula).
 
 Config keys: image_anno, image_dir, ie_ontology_json, ckpt, [model,
-batch_size, image_suffix, image_list, null_threshold, ground_arguments,
-arg_topk, iou_threshold, output_json].
+batch_size, image_suffix, image_list, null_threshold,
+select_null_threshold, ground_arguments, arg_topk, iou_threshold,
+output_json].
+
+`select_null_threshold: true` sweeps the threshold to max event F1 on a
+deterministic dev half and reports held-out metrics at the selected value
+(emitted as `null_threshold_selected`; see evals/m2e2.py).
 """
 
 from clip_event_tpu.evals.cli import run
@@ -29,6 +34,7 @@ def evaluate(cfg, params, mcfg):
         dataset,
         batch_size=cfg.get("batch_size", 32),
         null_threshold=cfg.get("null_threshold"),
+        select_null_threshold=cfg.get("select_null_threshold", False),
         ground_arguments=cfg.get("ground_arguments", False),
         arg_topk=cfg.get("arg_topk", 4),
         iou_threshold=cfg.get("iou_threshold", 0.5),

@@ -184,3 +184,80 @@ def test_evaluate_m2e2_ground_arguments(tmp_path):
     assert m["argument_mentions_gold"] == 4  # one box per positive image
     for k in ("argument_precision", "argument_recall", "argument_f1"):
         assert 0.0 <= m[k] <= 1.0
+
+
+def test_sweep_null_threshold_known_optimum():
+    """Hand-computed sweep: the two highest-prob predictions are the two
+    correct ones → thresholding at the 2nd prob gives P=R=F1=1."""
+    from clip_event_tpu.evals.m2e2 import sweep_null_threshold
+
+    probs = np.array([0.9, 0.8, 0.7, 0.6, 0.5])
+    correct = np.array([True, True, False, False, False])
+    thr, f1 = sweep_null_threshold(probs, correct, n_gold=2)
+    assert thr == pytest.approx(0.8)
+    assert f1 == pytest.approx(1.0)
+
+    # tied probs cannot be split: cutting "between" the two 0.8s would give
+    # an unrealizable F1=1; the sweep must take both (P=2/3, R=1, F1=0.8)
+    probs = np.array([0.9, 0.8, 0.8, 0.5])
+    correct = np.array([True, True, False, False])
+    thr, f1 = sweep_null_threshold(probs, correct, n_gold=2)
+    assert thr == pytest.approx(0.8)
+    assert f1 == pytest.approx(0.8)
+
+    # when predicting everything is optimal the sweep says "no threshold"
+    thr, f1 = sweep_null_threshold(
+        np.array([0.9, 0.1]), np.array([True, True]), n_gold=2
+    )
+    assert thr is None and f1 == pytest.approx(1.0)
+
+    assert sweep_null_threshold(np.array([]), np.array([]), 0) == (None, 0.0)
+
+
+def test_evaluate_m2e2_per_type_breakdown(tmp_path):
+    """per_type P/R/F1 decomposes the corpus totals: gold counts sum to
+    event_mentions_gold, predictions sum to event_mentions_pred."""
+    paths = _protocol_fixture(str(tmp_path))
+    ds = M2E2Dataset(paths["anno"], paths["image_dir"], paths["ontology"],
+                     image_list=paths["image_list"], image_size=32)
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    m = evaluate_m2e2(params, TINY, ds, batch_size=4)
+    per_type = m["per_type"]
+    assert set(per_type) <= set(ds.event_types)
+    assert sum(v["gold"] for v in per_type.values()) == m["event_mentions_gold"]
+    n_pred_by_type = sum(
+        v["precision"] and 1 for v in per_type.values()
+    )  # sanity: fields exist
+    for v in per_type.values():
+        assert {"precision", "recall", "f1", "gold"} <= set(v)
+        assert 0.0 <= v["f1"] <= 1.0
+    assert n_pred_by_type >= 0
+
+
+def test_evaluate_m2e2_select_null_threshold(tmp_path):
+    """The dev-half sweep emits the selected threshold + dev F1 and reports
+    the primary metrics on the held-out half only."""
+    paths = _protocol_fixture(str(tmp_path))
+    ds = M2E2Dataset(paths["anno"], paths["image_dir"], paths["ontology"],
+                     image_list=paths["image_list"], image_size=32)
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    m = evaluate_m2e2(params, TINY, ds, batch_size=4,
+                      select_null_threshold=True)
+    assert "null_threshold_selected" in m and "dev_event_f1" in m
+    assert m["dev_images"] + m["eval_images"] == m["num_images"]
+    assert 0.0 <= m["dev_event_f1"] <= 1.0
+    thr = m["null_threshold_selected"]
+    assert thr is None or 0.0 < thr <= 1.0
+    # held-out metrics at the selected threshold reproduce exactly
+    m2 = evaluate_m2e2(params, TINY, ds, batch_size=4, null_threshold=thr)
+    # (m2 evaluates ALL images; consistency check is on the identity P/R/F)
+    c = m["event_precision"] * m["event_mentions_pred"]
+    if m["event_mentions_gold"]:
+        np.testing.assert_allclose(
+            m["event_recall"], c / m["event_mentions_gold"], atol=1e-9
+        )
+    assert m2["eval_images"] == m2["num_images"]
+
+    with pytest.raises(ValueError, match="incompatible"):
+        evaluate_m2e2(params, TINY, ds, batch_size=4,
+                      select_null_threshold=True, ground_arguments=True)
