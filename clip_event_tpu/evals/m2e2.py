@@ -389,6 +389,7 @@ def evaluate_m2e2(
             }
         )
         metrics["argument_mentions_gold"] = int(arg_gold)
+        metrics["argument_mentions_pred"] = int(arg_pred)
 
     # secondary: round-3 image-level fields over event-bearing images
     if len(sec_gold):
