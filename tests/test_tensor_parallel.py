@@ -443,3 +443,24 @@ def test_sp_forward_changes_collective_shape(_sp_reset):
         set_sequence_parallel(None)
     out_ref = np.asarray(jax.jit(lambda p, t: encode_text(p, cfg, t))(params, tokens))
     np.testing.assert_allclose(out_ref, out_sp, atol=2e-5, rtol=1e-5)
+
+
+def test_data_process_group_single_process():
+    """Single process: the data group is the identity regardless of model
+    degree (the whole model group lives on local devices)."""
+    from clip_event_tpu.parallel.mesh import data_process_group
+
+    for degree in (1, 2, 8):
+        assert data_process_group(degree) == (0, 1)
+
+
+def test_data_process_world_virtual_meshes():
+    """data_process_world on single-process virtual meshes is 1 (no process
+    boundary to collapse); the tp/pp grouping arithmetic is covered for real
+    by test_multiprocess.py::test_elastic_resume_4_to_8_process_3axis."""
+    from clip_event_tpu.parallel.mesh import data_process_world, make_mesh
+    from clip_event_tpu.parallel.sharding import make_mesh_2d
+
+    assert data_process_world(make_mesh(8)) == 1
+    assert data_process_world(make_mesh_2d(tp=2)) == 1
+    assert data_process_world(make_mesh_2d(tp=2, dcn=2)) == 1

@@ -32,12 +32,28 @@ DEFAULT_GRID = [
     "RN50x4:32:1", "RN50x4:64:1", "RN50x4:96:1",
 ]
 
+# BENCH_FAST=1: per-preset regression guard — ONE call per preset at its
+# swept-best config, compared against the recorded round-4 numbers so a
+# kernel/layers change that regresses one preset while ViT-B/32 stays flat
+# is visible at round close (VERDICT r4 next #7). Expected values are the
+# post-block-calibration measurements (PERFORMANCE.md preset table).
+FAST_GRID = {
+    "ViT-B/32:384:1": 3312.0,
+    "ViT-B/16:96:attn": 1859.0,
+    "ViT-L/14:64:attn": 519.0,
+    "RN50:128:1": 2929.0,
+    "RN101:128:attn": 2575.0,
+    "RN50x4:128:1": 1309.0,
+}
+# regression alarm threshold; single-call noise measured well under this
+FAST_TOLERANCE = 0.05
+
 NUM_POS, NUM_NEG = 1, 2
 STEPS_PER_CALL = 10
 MEASURE_CALLS = 3
 
 
-def bench_one(model: str, batch_per_chip: int, remat):
+def bench_one(model: str, batch_per_chip: int, remat, measure_calls=MEASURE_CALLS):
     import jax
     import jax.numpy as jnp
 
@@ -83,29 +99,56 @@ def bench_one(model: str, batch_per_chip: int, remat):
     float(metrics["loss"][-1])  # compile + hard sync
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_CALLS):
+    for _ in range(measure_calls):
         state, metrics = run_k(state, batch)
     assert np.isfinite(float(metrics["loss"][-1]))  # hard sync
-    dt = (time.perf_counter() - t0) / (MEASURE_CALLS * STEPS_PER_CALL)
+    dt = (time.perf_counter() - t0) / (measure_calls * STEPS_PER_CALL)
     return dt, (B * D) / dt / n_chips
 
 
 def main():
+    from clip_event_tpu.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
-    grid = sys.argv[1:] or DEFAULT_GRID
+    fast = os.environ.get("BENCH_FAST") == "1"
+    grid = sys.argv[1:] or (list(FAST_GRID) if fast else DEFAULT_GRID)
+    calls = 1 if fast else MEASURE_CALLS
     print(f"devices: {jax.devices()}", flush=True)
+    results = {}
     for entry in grid:
         model, b, remat_s = entry.rsplit(":", 2)
         remat = {"0": False, "1": True}.get(remat_s, remat_s)
         label = f"{model:<9s} B={b:<4s} remat={remat_s}"
         try:
-            dt, pps = bench_one(model, int(b), remat)
+            dt, pps = bench_one(model, int(b), remat, measure_calls=calls)
+            results[entry] = pps
             print(f"{label:<34s} {dt * 1e3:8.1f} ms/step  {pps:8.0f} pairs/s/chip",
                   flush=True)
         except Exception as e:
             msg = str(e).split("\n")[0][:120]
             print(f"{label:<34s} FAILED: {type(e).__name__}: {msg}", flush=True)
+    if fast:
+        import json
+
+        regressed = {
+            e: (results.get(e), FAST_GRID[e])
+            for e in FAST_GRID
+            if e not in results
+            or results[e] < FAST_GRID[e] * (1 - FAST_TOLERANCE)
+        }
+        # one machine-checkable line: the PERFORMANCE.md round row + verdict
+        print(json.dumps({
+            "fast_presets": {e: round(v, 1) for e, v in results.items()},
+            "expected": FAST_GRID,
+            "tolerance": FAST_TOLERANCE,
+            "regressed": {
+                e: {"got": got, "expected": exp}
+                for e, (got, exp) in regressed.items()
+            },
+            "ok": not regressed,
+        }), flush=True)
 
 
 if __name__ == "__main__":
