@@ -123,6 +123,54 @@ def data_size(mesh: Mesh) -> int:
     return n
 
 
+def data_process_group(model_degree: int):
+    """(data_rank, data_world) for the batch loader on THIS process.
+
+    Model-parallel mesh axes (tp / pp) are innermost over the flat,
+    process-contiguous device order (`make_mesh_2d` / `make_mesh_pp`), so
+    when the model degree exceeds the per-process device count one model
+    group spans G = model_degree // local_device_count CONSECUTIVE
+    processes. Those processes hold the same data shard (the batch
+    replicates over the model axes) and must load IDENTICAL rows — the
+    loader/label rank must collapse to the group. With the model group
+    inside one process (the common TPU-host case) this is just
+    (process_index, process_count)."""
+    import jax
+
+    local = max(jax.local_device_count(), 1)
+    g = max(1, int(model_degree) // local)
+    if jax.process_count() % g:
+        raise ValueError(
+            f"model degree {model_degree} over {local}-device processes "
+            f"needs process groups of {g}, which does not divide "
+            f"process_count={jax.process_count()}"
+        )
+    return jax.process_index() // g, jax.process_count() // g
+
+
+def data_process_world(mesh: Mesh) -> int:
+    """Number of DISTINCT process groups along the data axes — the factor
+    between one process's local batch rows and the global batch when model
+    axes (tp/pp) span processes (those processes contribute duplicate rows,
+    not new ones)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return 1
+    shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+    model_degree = 1
+    for ax, n in shape.items():
+        if ax not in data_axes(mesh):
+            model_degree *= n
+    # model axes are innermost in the flat order: device flat-index // model
+    # = its data coordinate. Group processes by the data coords they cover.
+    coords_by_proc: dict = {}
+    for i, d in enumerate(mesh.devices.flat):
+        coords_by_proc.setdefault(d.process_index, set()).add(i // model_degree)
+    groups = {frozenset(v) for v in coords_by_proc.values()}
+    return len(groups)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     axes = data_axes(mesh)
     return NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
@@ -176,6 +224,10 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
                 "multi-process shard_batch needs a process-contiguous device "
                 "order (rank p's loader rows land in global row block p)"
             )
+        # model axes (tp/pp) spanning processes: those processes hold
+        # DUPLICATE rows, so the global batch is local × #data-groups, not
+        # local × #processes
+        world = data_process_world(mesh)
 
     def put(k, x):
         x = np.asarray(x)

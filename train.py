@@ -114,6 +114,22 @@ def main():
         mid_epoch_resume = False
 
     # ---- data
+    # model-parallel process grouping BEFORE the dataset exists: when a
+    # tp/pp group spans processes (model degree > local device count), the
+    # group's processes hold the same batch shard and must load IDENTICAL
+    # rows — the loader/label rank collapses to the group
+    # (parallel/mesh.py::data_process_group)
+    from clip_event_tpu.parallel.mesh import data_process_group
+
+    data_rank, data_world = data_process_group(
+        int(cfg["tp"]) * int(cfg["pp"])
+    )
+    if data_world != jax.process_count():
+        log.info(
+            "model-parallel groups span processes: data rank %d/%d "
+            "(process %d/%d)", data_rank, data_world,
+            jax.process_index(), jax.process_count(),
+        )
     if cfg.get("image_cache"):
         from clip_event_tpu.data import cache as image_cache
 
@@ -149,9 +165,11 @@ def main():
             int(cfg["steps_per_dispatch"]) > 1 or int(cfg["grad_accum_steps"]) > 1
         ),
         # multi-host: labels index the GLOBAL in-batch contrast; this
-        # process emits its rank's block (data/labels.py)
-        dist_rank=jax.process_index(),
-        dist_world=jax.process_count(),
+        # process emits its DATA rank's block (data/labels.py) — the data
+        # rank, not the process rank, so tp/pp groups spanning processes
+        # load identical rows
+        dist_rank=data_rank,
+        dist_world=data_world,
     )
     buckets = list(cfg["length_buckets"]) if cfg["is_train"] else []
     loader = DataLoader(
@@ -162,8 +180,8 @@ def main():
         drop_last=cfg["is_train"],
         num_workers=cfg["num_workers"],
         prefetch=cfg["prefetch"],
-        rank=jax.process_index(),
-        world_size=jax.process_count(),
+        rank=data_rank,
+        world_size=data_world,
         bucket_widths=buckets or None,
     )
     if buckets:
@@ -665,6 +683,15 @@ def main():
     from clip_event_tpu.engine.checkpoint import wait_for_saves
 
     wait_for_saves()
+    if jax.process_count() > 1:
+        # align ranks before interpreter teardown: the coordination-service
+        # shutdown barrier has a short timeout, and checkpoint-commit skew
+        # (async saves finalize rank-0-first) can otherwise trip it on
+        # loaded hosts — observed as 'Shutdown barrier timed out, 3/4
+        # tasks' with every rank's work actually complete
+        from clip_event_tpu.parallel.collectives import comm
+
+        comm.synchronize()
 
 
 if __name__ == "__main__":
