@@ -965,26 +965,35 @@ def test_train_cli_sigterm_preemption_checkpoint(tmp_path):
     cfg_path.write_text(json.dumps(cfg))
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proc = subprocess.Popen(
-        [sys.executable, "train.py", "--cfg", str(cfg_path)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        cwd=cwd, env=env,
-    )
-    try:
-        # wait until epoch 0 has finished (first end-of-epoch meta exists) so
-        # the signal lands mid-training, well past handler registration
-        meta0 = tmp_path / "ckpt" / "preempt" / "preempt_0.meta.json"
-        deadline = time.time() + 240
-        while not meta0.exists():
-            assert proc.poll() is None, proc.communicate()[1][-3000:]
-            assert time.time() < deadline, "epoch 0 never finished"
-            time.sleep(0.5)
-        proc.send_signal(signal.SIGTERM)
-        out, err = proc.communicate(timeout=240)
-    finally:
-        if proc.poll() is None:
-            proc.kill()
-            proc.communicate()
+    # output goes to FILES, not pipes: this test polls the filesystem while
+    # the subprocess runs, and an undrained 64 KB PIPE deadlocks the child
+    # once its logs exceed the buffer (the persistent compile cache's CPU
+    # AOT loader emits a ~2.5 KB machine-feature warning per cached load,
+    # which blew that budget mid-epoch — 'epoch 0 never finished')
+    out_path, err_path = tmp_path / "train.out", tmp_path / "train.err"
+    with open(out_path, "w") as out_fh, open(err_path, "w") as err_fh:
+        proc = subprocess.Popen(
+            [sys.executable, "train.py", "--cfg", str(cfg_path)],
+            stdout=out_fh, stderr=err_fh, text=True,
+            cwd=cwd, env=env,
+        )
+        try:
+            # wait until epoch 0 has finished (first end-of-epoch meta
+            # exists) so the signal lands mid-training, well past handler
+            # registration
+            meta0 = tmp_path / "ckpt" / "preempt" / "preempt_0.meta.json"
+            deadline = time.time() + 240
+            while not meta0.exists():
+                assert proc.poll() is None, err_path.read_text()[-3000:]
+                assert time.time() < deadline, "epoch 0 never finished"
+                time.sleep(0.5)
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=240)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+    out, err = out_path.read_text(), err_path.read_text()
     assert proc.returncode == 0, err[-3000:]
     assert "SIGTERM: checkpointing at the next step boundary" in err + out
     assert "preemption checkpoint written" in err + out
