@@ -25,11 +25,11 @@ jax.config.update("jax_platforms", "cpu")
 # passes; CPU honors this too and it documents the parity-mode requirement).
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compile cache: the full suite is dominated by re-jitting the
-# same graphs across processes/runs (~56 min cold, round-4 verdict weak #3).
-from clip_event_tpu.platform import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
+# NOTE: no persistent compile cache here — enable_compilation_cache()
+# deliberately no-ops on the CPU backend because loading cached XLA:CPU AOT
+# executables aborts the interpreter in this image (see platform.py). The
+# suite pays cold compiles; the cache serves the TPU paths (bench.py,
+# train.py on real chips).
 
 REFERENCE_DIR = "/root/reference/src/clip-event"
 
