@@ -176,6 +176,12 @@ _DEFAULTS: Dict[str, Any] = {
     # offline preprocessed-image cache dir (cache_images.py); None = live
     # decode. The CLIP_EVENT_IMAGE_CACHE env var overrides at runtime.
     "image_cache": None,
+    # ship PRE-normalize uint8 images and CLIP-normalize on device
+    # (models/clip.py::encode_image): bitwise-identical result, 4× less
+    # host→device image traffic, and cache-hit loader reads become bare
+    # memcpys (no host float pass). Main image channel only; the
+    # object-crop channel keeps float32.
+    "device_normalize": True,
     "max_objects": None,
     "max_entities": 16,
     "max_events": 8,

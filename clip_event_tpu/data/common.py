@@ -24,7 +24,7 @@ import numpy as np
 from clip_event_tpu.data.transform import preprocess_image
 
 
-def load_image_file(path: str, size: int = 224) -> np.ndarray:
+def load_image_file(path: str, size: int = 224, raw: bool = False) -> np.ndarray:
     """Decode + CLIP-preprocess one image file → float32 [size, size, 3].
 
     Checks the offline preprocessed cache first (`data.cache`, bit-exact
@@ -32,14 +32,31 @@ def load_image_file(path: str, size: int = 224) -> np.ndarray:
     miss uses the native C++ path (libjpeg + fixed-point bicubic, GIL-free)
     when built; falls back to PIL + the pure-Python bit-exact transform.
     Disable the native path with CLIP_EVENT_NATIVE=0.
+
+    `raw=True` returns the PRE-normalize uint8 [size, size, 3] stage (the
+    exact PIL intermediate the cache stores): the model normalizes uint8
+    inputs on device (`models/clip.py::encode_image`), so raw mode ships 4×
+    fewer bytes to the chip and skips the loader's float pass — on a cache
+    hit the read is a bare memcpy. Cache misses in raw mode take the
+    pure-Python u8 path (exact, slower) so a batch never mixes dtypes.
     """
     from clip_event_tpu.data import cache as image_cache
 
     cached = image_cache.active_cache()
     if cached is not None:
-        hit = cached.get(path, size)
+        hit = cached.get_u8(path, size) if raw else cached.get(path, size)
         if hit is not None:
             return hit
+
+    if raw:
+        from clip_event_tpu.data.transform import preprocess_image_u8
+
+        from PIL import Image, ImageFile
+
+        ImageFile.LOAD_TRUNCATED_IMAGES = True
+        Image.MAX_IMAGE_PIXELS = 933120000
+        with Image.open(path) as img:
+            return preprocess_image_u8(img, size)
 
     if os.environ.get("CLIP_EVENT_NATIVE", "1") != "0" and path.lower().endswith(
         (".jpg", ".jpeg")

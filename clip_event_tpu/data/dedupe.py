@@ -47,6 +47,9 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+_overflow_warned: set = set()
+
+
 class DedupeOverflow(ValueError):
     """Unique row count exceeded the static cap in strict mode."""
 
@@ -76,7 +79,12 @@ def dedupe_rows(
         )
         if strict:
             raise DedupeOverflow(msg)
-        log.warning("%s; falling back to the undeduped layout for this batch", msg)
+        if tag not in _overflow_warned:  # once per channel, not per batch
+            _overflow_warned.add(tag)
+            log.warning(
+                "%s; falling back to the undeduped layout for this batch "
+                "(further overflows on this channel fall back silently)", msg
+            )
         return None
     padded = np.zeros((cap_local,) + rows.shape[1:], dtype=rows.dtype)
     padded[: len(unique)] = unique

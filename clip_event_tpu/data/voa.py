@@ -159,8 +159,15 @@ class VOADescriptionDataset(ExampleDataset):
         # (data/labels.py; train.py passes jax.process_index()/count()).
         dist_rank: int = 0,
         dist_world: int = 1,
+        # ship PRE-normalize uint8 images; the model normalizes on device
+        # (4× less host→device traffic, loader reads become bare memcpys on
+        # cache hits — `load_image_file(raw=True)`). Exact: device fp32
+        # normalize is the same IEEE ops as the host pass. Applies to the
+        # main image channel (the object-crop channel keeps float32).
+        uint8_images: bool = False,
     ):
         self.image_size = image_size
+        self.uint8_images = bool(uint8_images)
         self.contrastive_loss = contrastive_loss
         self.overbatch = overbatch
         self.load_sr = load_sr
@@ -376,7 +383,9 @@ class VOADescriptionDataset(ExampleDataset):
             meta["object_ids"] = obj_ids[: self.max_objects]
             meta["object_labels"] = obj_labels[: self.max_objects]
         else:
-            tensors["image"] = load_image_file(path, self.image_size)
+            tensors["image"] = load_image_file(
+                path, self.image_size, raw=self.uint8_images
+            )
 
         if self.load_sr:
             tensors.update(self._sr_channel(path, image_id))

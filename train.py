@@ -155,6 +155,7 @@ def main():
         contrastive_loss=cfg["constrastive_loss"],
         overbatch=cfg["constrastive_overbatch"],
         image_size=mcfg.image_resolution,
+        uint8_images=cfg["device_normalize"],
         context_cap=cfg["context_cap"],
         dedupe_texts=cfg["dedupe_texts"],
         dedupe_sr_texts=cfg["dedupe_sr_texts"],
