@@ -207,3 +207,48 @@ def test_instance_widths_sidecar_and_threads(voa, caplog):
     ds3 = _dataset(voa)
     threaded = ds3.instance_widths(num_workers=4)
     np.testing.assert_array_equal(threaded, serial)
+
+
+def test_device_prefetch_threaded_order_and_errors():
+    """device_prefetch preserves loader order through the background
+    thread, propagates loader exceptions to the consumer, and stops the
+    worker when the consumer breaks early."""
+    import numpy as np
+    import pytest
+    import time
+
+    from clip_event_tpu.data.prefetch import device_prefetch
+    from clip_event_tpu.parallel import make_mesh
+
+    mesh = make_mesh(1)
+
+    def loader_of(n):
+        for i in range(n):
+            yield {"x": np.full((2, 2), i, np.int32)}, [{"i": i}]
+
+    out = list(device_prefetch(loader_of(7), mesh, depth=2))
+    assert [int(np.asarray(b["x"])[0, 0]) for b, _ in out] == list(range(7))
+    assert [m[0]["i"] for _, m in out] == list(range(7))
+
+    def boom():
+        yield {"x": np.zeros((1,), np.float32)}, [{}]
+        raise RuntimeError("loader exploded")
+
+    it = device_prefetch(boom(), mesh, depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        list(it)
+
+    # early break: the generator closes and the worker drains out
+    consumed = []
+
+    def counting():
+        for i in range(100):
+            consumed.append(i)
+            yield {"x": np.zeros((1,), np.int32)}, [{}]
+
+    it = device_prefetch(counting(), mesh, depth=2)
+    next(it)
+    it.close()
+    time.sleep(0.3)
+    assert len(consumed) <= 6  # bounded queue stopped the worker
