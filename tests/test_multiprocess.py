@@ -583,7 +583,10 @@ def test_elastic_resume_4_to_8_process_3axis(tmp_path):
                     text=True, cwd=repo, env=env,
                 )
             )
-        outs = [p.communicate(timeout=600)[0] for p in procs]
+        # 8 cold-compiling single-device processes on this 1-core host need
+        # ~400 s idle and notably more under full-suite load — the in-suite
+        # run hit 600 s exactly (round-5); keep ample headroom
+        outs = [p.communicate(timeout=1500)[0] for p in procs]
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"{tag} rank {i} failed:\n{out[-4000:]}"
         return "\n".join(outs)
