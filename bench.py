@@ -80,6 +80,8 @@ def _report_stragglers() -> None:
             continue
         if int(parts[0]) == me or "ps -eo" in parts[2]:
             continue
+        if "bench.py" in parts[2] or "shell-snapshots" in parts[2]:
+            continue  # our own wrapper/launcher chain, not a TPU holder
         _hb(f"straggler candidate (may hold the single-client TPU): {line.strip()[:160]}")
 
 
